@@ -1,0 +1,180 @@
+"""Poseidon permutation over Goldilocks, width 12 — the backend hash.
+
+The reference's proving backend (plonky2 / starky, SURVEY.md §2.2) commits
+traces with a Poseidon-Goldilocks Merkle tree and runs Fiat–Shamir through a
+Poseidon duplex challenger. We rebuild the same capability with our own
+nothing-up-my-sleeve instantiation (we define both prover and verifier, so
+any fixed secure instance works):
+
+* width t = 12 (rate 8, capacity 4), alpha = 7 (gcd(7, p-1) = 1),
+* R_F = 8 full rounds, R_P = 22 partial rounds (HADES: 4 full, 22 partial,
+  4 full) — the standard Poseidon-Goldilocks parameter point,
+* MDS matrix: Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i,
+  y_j = 12 + j (provably MDS),
+* round constants: rejection-sampled from SHA-256 in counter mode over a
+  domain-separation tag.
+
+Two implementations with identical outputs:
+* scalar/python-int (`permute_s`) for the host challenger,
+* batched array (`permute`) over numpy or jax.numpy uint64 for Merkle
+  leaf/internal hashing on TPU (and numpy-vectorized host verification).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+from ..fields.goldilocks import P
+
+WIDTH = 12
+RATE = 8
+CAP = 4
+N_FULL = 8
+N_PARTIAL = 22
+N_ROUNDS = N_FULL + N_PARTIAL
+ALPHA = 7
+
+_DOMAIN = b"starky_bls12_381_tpu/poseidon-gl12/v1"
+
+
+def _derive_constants():
+    consts = []
+    ctr = 0
+    while len(consts) < N_ROUNDS * WIDTH:
+        h = hashlib.sha256(_DOMAIN + b"|rc|" + str(ctr).encode()).digest()
+        v = int.from_bytes(h[:8], "little")
+        ctr += 1
+        if v < P:
+            consts.append(v)
+    rc = [consts[r * WIDTH : (r + 1) * WIDTH] for r in range(N_ROUNDS)]
+    mds = [[gl.inv_s((i + 12 + j) % P) for j in range(WIDTH)] for i in range(WIDTH)]
+    return rc, mds
+
+
+ROUND_CONSTANTS, MDS = _derive_constants()
+_MDS_NP = np.asarray(MDS, dtype=np.uint64)  # (12, 12)
+_RC_NP = np.asarray(ROUND_CONSTANTS, dtype=np.uint64)  # (30, 12)
+
+
+# ---------------------------------------------------------------------------
+# Scalar permutation (python ints) — host challenger / reference oracle.
+# ---------------------------------------------------------------------------
+
+
+def _sbox_s(x: int) -> int:
+    x2 = x * x % P
+    x3 = x2 * x % P
+    return x3 * x3 % P * x % P
+
+
+def permute_s(state):
+    """Permute a list of 12 python ints (canonical)."""
+    s = list(state)
+    half = N_FULL // 2
+    for r in range(N_ROUNDS):
+        s = [(s[i] + ROUND_CONSTANTS[r][i]) % P for i in range(WIDTH)]
+        if half <= r < half + N_PARTIAL:
+            s[0] = _sbox_s(s[0])
+        else:
+            s = [_sbox_s(x) for x in s]
+        s = [sum(MDS[i][j] * s[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+    return s
+
+
+def hash_elements_s(elements):
+    """Sponge-hash a list of ints to a 4-element digest (overwrite mode)."""
+    state = [0] * WIDTH
+    for i in range(0, len(elements), RATE):
+        chunk = elements[i : i + RATE]
+        for j, v in enumerate(chunk):
+            state[j] = v % P
+        state = permute_s(state)
+    return tuple(state[:CAP])
+
+
+def compress_s(left, right):
+    """2-to-1 digest compression (each digest is 4 ints)."""
+    state = list(left) + list(right) + [0] * (WIDTH - 2 * CAP)
+    state = permute_s(state)
+    return tuple(state[:CAP])
+
+
+# ---------------------------------------------------------------------------
+# Batched permutation: state shape (..., 12) uint64 array (numpy or jnp).
+# ---------------------------------------------------------------------------
+
+
+def _mds_layer(state, xp):
+    """state (..., 12) -> MDS @ state, mod p, via tree-reduced products."""
+    mds = _MDS_NP if xp is np else xp.asarray(_MDS_NP)
+    prod = gl.gl_mul(state[..., None, :], mds)  # (..., 12out, 12in)
+    return gl.gl_sum(prod, axis=-1)
+
+
+def _sbox(x):
+    x2 = gl.gl_mul(x, x)
+    x3 = gl.gl_mul(x2, x)
+    return gl.gl_mul(gl.gl_mul(x3, x3), x)
+
+
+def permute(state):
+    """Permute a (..., 12) uint64 array."""
+    xp = gl._xp(state)
+    rc = _RC_NP if xp is np else xp.asarray(_RC_NP)
+    half = N_FULL // 2
+    for r in range(N_ROUNDS):
+        state = gl.gl_add(state, rc[r])
+        if half <= r < half + N_PARTIAL:
+            s0 = _sbox(state[..., 0:1])
+            state = xp.concatenate([s0, state[..., 1:]], axis=-1)
+        else:
+            state = _sbox(state)
+        state = _mds_layer(state, xp)
+    return state
+
+
+def hash_rows(rows):
+    """Hash each row of a (N, C) uint64 array to a (N, 4) digest array.
+
+    This is the Merkle-leaf hash over a full LDE row (all trace columns),
+    mirroring starky's row commitment. Sponge in overwrite mode, rate 8.
+    On the jax backend the absorb loop is a lax.scan over rate-chunks so the
+    traced graph stays one-permutation-sized even for 100k-column rows.
+    """
+    xp = gl._xp(rows)
+    n, c = rows.shape
+    n_full = c // RATE
+    state = xp.zeros((n, WIDTH), dtype=xp.uint64)
+    if n_full:
+        if xp is np:
+            for i in range(n_full):
+                chunk = rows[:, i * RATE : (i + 1) * RATE]
+                state = np.concatenate([chunk, state[:, RATE:]], axis=1)
+                state = permute(state)
+        else:
+            import jax
+
+            chunks = rows[:, : n_full * RATE].reshape(n, n_full, RATE).transpose(1, 0, 2)
+
+            def body(st, chunk):
+                st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
+                return permute(st), None
+
+            state, _ = jax.lax.scan(body, state, chunks)
+    tail = c - n_full * RATE
+    if tail:
+        chunk = rows[:, n_full * RATE :]
+        state = xp.concatenate([chunk, state[:, tail:]], axis=1)
+        state = permute(state)
+    return state[:, :CAP]
+
+
+def compress_rows(left, right):
+    """Compress (N, 4) x (N, 4) digests into (N, 4)."""
+    xp = gl._xp(left)
+    n = left.shape[0]
+    state = xp.concatenate([left, right, xp.zeros((n, WIDTH - 2 * CAP), dtype=xp.uint64)], axis=1)
+    return permute(state)[:, :CAP]

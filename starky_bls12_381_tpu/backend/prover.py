@@ -1,0 +1,502 @@
+"""STARK prover: trace -> proof, with all bulk math in jitted TPU stages.
+
+Pipeline (capability parity with starky's `prover::prove`, SURVEY.md §2.2,
+§3.2, re-architected for TPU/XLA):
+
+1. commit trace: per-column IFFT + coset LDE (NTT along rows, vectorized
+   across columns) + Poseidon row-hash (lax.scan) + batched Merkle layers;
+2. constraint evaluation ONCE over the whole LDE domain as wide vector ops
+   (`BaseVectorAlgebra`), two parallel base-field alpha combinations
+   (64-bit field => num_challenges=2), filters including arbitrary
+   fixed-row Lagrange kernels; quotient = combination / Z_H;
+3. quotient split into degree-n chunks and committed;
+4. DEEP openings at zeta (trace + quotient) and g*zeta (trace);
+5. FRI: arity-2 folds with pair-leaf Merkle caps, final polynomial, device
+   PoW grinding, query rounds.
+
+Every stage between Fiat-Shamir interactions is a pure array function; on
+the jax backend each is `jax.jit`-compiled once per (air, config) and
+cached on the `StarkProver`, so proving is a handful of device dispatches
+instead of per-op round trips. The numpy backend runs the same code
+eagerly (used by tests and as the bit-exactness oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+from . import fri, merkle, ntt
+from . import poseidon as ps
+from .air import BaseVectorAlgebra, Ctx, DegreeAlgebra
+from .challenger import Challenger
+from .config import StarkConfig
+from .proof import FriProof, FriQueryRound, FriStep, StarkProof
+
+SHIFT = gl.GENERATOR
+
+
+# ---------------------------------------------------------------------------
+# domain / filter precomputation (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+def _domain_points(n0: int) -> np.ndarray:
+    w = gl.primitive_root_of_unity(n0.bit_length() - 1)
+    out = np.empty(n0, dtype=np.uint64)
+    acc = SHIFT
+    for i in range(n0):
+        out[i] = acc
+        acc = acc * w % gl.P
+    return out
+
+
+def _zh_values(n: int, n0: int) -> np.ndarray:
+    """Z_H(x) = x^n - 1 over the LDE coset; periodic with period blowup."""
+    period = n0 // n
+    wn = pow(int(gl.primitive_root_of_unity(n0.bit_length() - 1)), n, gl.P)
+    acc = pow(SHIFT, n, gl.P)
+    cycle = []
+    for _ in range(period):
+        cycle.append((acc - 1) % gl.P)
+        acc = acc * wn % gl.P
+    return np.resize(np.asarray(cycle, dtype=np.uint64), n0)
+
+
+def _filter_vector(filt, n: int, n0: int, pts: np.ndarray, zh: np.ndarray) -> np.ndarray:
+    """Filter multiplier over the LDE coset.
+
+    every      -> 1
+    transition -> (x - g^{n-1})
+    row k      -> L_k(x) = Z_H(x) * g^k / (n * (x - g^k))
+    """
+    g = gl.primitive_root_of_unity(n.bit_length() - 1)
+    if filt[0] == "every":
+        return np.ones(n0, dtype=np.uint64)
+    if filt[0] == "transition":
+        g_last = pow(g, n - 1, gl.P)
+        return np.asarray(gl.gl_sub(pts, np.uint64(g_last)))
+    if filt[0] == "row":
+        gk = pow(g, filt[1], gl.P)
+        denom = gl.gl_mul(gl.gl_sub(pts, np.uint64(gk)), np.uint64(n % gl.P))
+        return np.asarray(gl.gl_mul(gl.gl_mul(zh, gl.gl_inv(denom)), np.uint64(gk)))
+    raise ValueError(filt)
+
+
+def filter_at_point(filt, n: int, zeta):
+    """Filter value at an extension point (verifier side). Returns ext."""
+    g = gl.primitive_root_of_unity(n.bit_length() - 1)
+    if filt[0] == "every":
+        return gl.EXT_ONE
+    zh = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
+    if filt[0] == "transition":
+        g_last = pow(g, n - 1, gl.P)
+        return gl.ext_sub(zeta, (g_last, 0))
+    if filt[0] == "row":
+        gk = pow(g, filt[1], gl.P)
+        denom = gl.ext_scalar_mul(gl.ext_sub(zeta, (gk, 0)), n % gl.P)
+        return gl.ext_scalar_mul(gl.ext_mul(zh, gl.ext_inv(denom)), gk)
+    raise ValueError(filt)
+
+
+# ---------------------------------------------------------------------------
+# small host helpers
+# ---------------------------------------------------------------------------
+
+
+def ext_powers(base, count: int) -> np.ndarray:
+    """(count, 2) numpy array of base^j for an ext scalar base."""
+    out = np.empty((count, 2), dtype=np.uint64)
+    acc = gl.EXT_ONE
+    for j in range(count):
+        out[j] = acc
+        acc = gl.ext_mul(acc, base)
+    return out
+
+
+def ext_dot_ext(weights: np.ndarray, values: np.ndarray):
+    """Sum_j weights[j] * values[j], both (J, 2) ext arrays (host numpy)."""
+    w0, w1 = weights[:, 0], weights[:, 1]
+    v0, v1 = values[:, 0], values[:, 1]
+    c0 = gl.gl_add(gl.gl_sum(gl.gl_mul(w0, v0), 0), gl.gl_mul(np.uint64(gl.W_EXT), gl.gl_sum(gl.gl_mul(w1, v1), 0)))
+    c1 = gl.gl_add(gl.gl_sum(gl.gl_mul(w0, v1), 0), gl.gl_sum(gl.gl_mul(w1, v0), 0))
+    return (int(c0), int(c1))
+
+
+def check_pow(challenge: int, nonce: int, pow_bits: int) -> bool:
+    state = [challenge, nonce] + [0] * (ps.WIDTH - 2)
+    return ps.permute_s(state)[0] >> (64 - pow_bits) == 0
+
+
+# ---------------------------------------------------------------------------
+# the prover
+# ---------------------------------------------------------------------------
+
+
+class StarkProver:
+    """Per-(air, config) prover with cached jitted stages."""
+
+    def __init__(self, air, config: StarkConfig, xp=None):
+        if xp is None:
+            import jax.numpy as jnp
+
+            xp = jnp
+        self.air = air
+        self.config = config
+        self.xp = xp
+        self.n = air.num_rows
+        self.num_cols = air.num_cols
+        self.blowup = config.blowup
+        self.n0 = self.n * self.blowup
+        self.factor = air.quotient_degree_factor()
+        assert self.factor <= self.blowup, (
+            f"constraint degree needs rate_bits >= {max(self.factor, 1).bit_length() - 1}"
+        )
+        self.g = gl.primitive_root_of_unity(self.n.bit_length() - 1)
+
+        # discover the emission-ordered filter list via a degree pass
+        dctx = Ctx(DegreeAlgebra(), lambda c, w=None: 1, lambda c, w=None: 1, lambda i, w=None: 0)
+        air.eval(dctx)
+        filts = []
+        for filt, _d, _deg in dctx.constraints:
+            if filt not in filts:
+                filts.append(filt)
+        self.filter_index = {f: i for i, f in enumerate(filts)}
+        pts = _domain_points(self.n0)
+        zh = _zh_values(self.n, self.n0)
+        self.pts_np = pts
+        self.zh_inv_np = np.asarray(gl.gl_inv(zh))
+        self.filters_np = np.stack(
+            [_filter_vector(f, self.n, self.n0, pts, zh) for f in filts]
+        ) if filts else np.ones((1, self.n0), dtype=np.uint64)
+
+        # public constant columns (selector patterns): LDE once per air
+        const = air.constant_columns()
+        if const is not None:
+            const = np.asarray(const, dtype=np.uint64)
+            assert const.shape[0] == self.n
+            c_lde, self.const_coeffs_np = ntt.lde(const, config.rate_bits, SHIFT)
+            self.const_lde_np = np.asarray(c_lde)
+        else:
+            self.const_lde_np = np.zeros((self.n0, 1), dtype=np.uint64)
+            self.const_coeffs_np = np.zeros((self.n, 1), dtype=np.uint64)
+
+        self.num_folds = config.fri_num_folds(self.n0)
+        # per-FRI-layer 1/x tables
+        self.x_invs_np = []
+        shift_l, root_l, size_l = SHIFT, gl.primitive_root_of_unity(self.n0.bit_length() - 1), self.n0
+        for _ in range(self.num_folds):
+            self.x_invs_np.append(fri.layer_x_invs(size_l // 2, shift_l, root_l))
+            shift_l = shift_l * shift_l % gl.P
+            root_l = root_l * root_l % gl.P
+            size_l //= 2
+        self.final_shift = shift_l
+        self.final_size = size_l
+
+        self._jit_cache: dict = {}
+
+    # -- jit plumbing ---------------------------------------------------
+    def _stage(self, name, fn):
+        if name in self._jit_cache:
+            return self._jit_cache[name]
+        if self.xp is np:
+            wrapped = fn
+        else:
+            import jax
+
+            wrapped = jax.jit(fn)
+        self._jit_cache[name] = wrapped
+        return wrapped
+
+    def _dev(self, arr):
+        return arr if self.xp is np else self.xp.asarray(arr)
+
+    # -- stages ---------------------------------------------------------
+    def _commit_trace(self, trace):
+        def f(tr):
+            lde_, coeffs = ntt.lde(tr, self.config.rate_bits, SHIFT)
+            layers = merkle.build_layers(ps.hash_rows(lde_), self.config.cap_height)
+            return lde_, coeffs, layers
+
+        return self._stage("commit_trace", f)(trace)
+
+    def _quotient(self, trace_lde, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
+        xp = self.xp
+
+        def f(lde_v, alphas, pis_a, filters_a, zh_inv, c_lde):
+            next_lde = xp.roll(lde_v, -self.blowup, axis=0)
+            c_next = xp.roll(c_lde, -self.blowup, axis=0)
+            alg = BaseVectorAlgebra(xp)
+
+            def local_fn(col, width=None):
+                return lde_v[:, col] if width is None else lde_v[:, col : col + width].T
+
+            def next_fn(col, width=None):
+                return next_lde[:, col] if width is None else next_lde[:, col : col + width].T
+
+            def const_fn(col, width=None):
+                return c_lde[:, col] if width is None else c_lde[:, col : col + width].T
+
+            def const_next_fn(col, width=None):
+                return c_next[:, col] if width is None else c_next[:, col : col + width].T
+
+            def pi_fn(idx, width=None):
+                return pis_a[idx] if width is None else pis_a[idx : idx + width, None]
+
+            ctx = Ctx(alg, local_fn, next_fn, pi_fn, const_fn, const_next_fn)
+            self.air.eval(ctx)
+            outs = []
+            for ci in range(self.config.num_challenges):
+                alpha = alphas[ci]
+                acc = xp.zeros((self.n0,), dtype=xp.uint64)
+                for filt, data, _deg in reversed(ctx.constraints):
+                    rows = alg.rows(data)
+                    grp = None
+                    for r in reversed(rows):
+                        grp = r if grp is None else gl.gl_add(gl.gl_mul(grp, alpha), r)
+                    if filt[0] != "every":
+                        grp = gl.gl_mul(grp, filters_a[self.filter_index[filt]])
+                    a_pow = gl.gl_pow(alpha, len(rows))
+                    acc = gl.gl_add(gl.gl_mul(acc, a_pow), grp)
+                outs.append(gl.gl_mul(acc, zh_inv))
+            return xp.stack(outs, axis=1)  # (n0, nc)
+
+        return self._stage("quotient", f)(trace_lde, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
+
+    def _commit_quotient(self, qv):
+        n, factor = self.n, self.factor
+
+        def f(q):
+            q_coeffs_full = ntt.coset_interpolate(q, SHIFT)  # (n0, nc)
+            chunks = [q_coeffs_full[k * n : (k + 1) * n] for k in range(factor)]
+            q_chunk_coeffs = self.xp.concatenate(chunks, axis=1)  # (n, nc*factor)
+            q_lde = ntt.coset_evaluate(q_chunk_coeffs, self.n0, SHIFT)
+            layers = merkle.build_layers(ps.hash_rows(q_lde), self.config.cap_height)
+            return q_chunk_coeffs, q_lde, layers
+
+        return self._stage("commit_quotient", f)(qv)
+
+    def _open_at(self, coeffs, pows):
+        """coeffs (n, K) base, pows (n, 2) ext powers -> (K, 2) host."""
+
+        def f(c, p):
+            c0 = gl.gl_sum(gl.gl_mul(c, p[:, 0][:, None]), axis=0)
+            c1 = gl.gl_sum(gl.gl_mul(c, p[:, 1][:, None]), axis=0)
+            return c0, c1
+
+        c0, c1 = self._stage("open_at", f)(coeffs, self._dev(pows))
+        return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)
+
+    def _deep(self, trace_lde, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev):
+        xp = self.xp
+
+        def f(t_lde, ql, w1_a, w2_a, scalars, pts_a):
+            r1z0, r1z1, r2z0, r2z1, z0, z1, zg0, zg1 = [scalars[i] for i in range(8)]
+            cols1 = xp.concatenate([t_lde, ql], axis=1)
+            r1 = (
+                gl.gl_sum(gl.gl_mul(cols1, w1_a[:, 0][None, :]), axis=1),
+                gl.gl_sum(gl.gl_mul(cols1, w1_a[:, 1][None, :]), axis=1),
+            )
+            r2 = (
+                gl.gl_sum(gl.gl_mul(t_lde, w2_a[:, 0][None, :]), axis=1),
+                gl.gl_sum(gl.gl_mul(t_lde, w2_a[:, 1][None, :]), axis=1),
+            )
+            num1 = (gl.gl_sub(r1[0], r1z0), gl.gl_sub(r1[1], r1z1))
+            den1 = (gl.gl_sub(pts_a, z0), xp.broadcast_to(gl.gl_neg(z1), pts_a.shape))
+            f1 = gl.ext_mul_v(num1, gl.ext_inv_v(den1))
+            num2 = (gl.gl_sub(r2[0], r2z0), gl.gl_sub(r2[1], r2z1))
+            den2 = (gl.gl_sub(pts_a, zg0), xp.broadcast_to(gl.gl_neg(zg1), pts_a.shape))
+            f2 = gl.ext_mul_v(num2, gl.ext_inv_v(den2))
+            out = gl.ext_add_v(f1, f2)
+            return out[0], out[1]
+
+        scalars = np.asarray(
+            [r1z[0], r1z[1], r2z[0], r2z[1], zeta[0], zeta[1], zeta_g[0], zeta_g[1]],
+            dtype=np.uint64,
+        )
+        return self._stage("deep", f)(trace_lde, q_lde, self._dev(w1), self._dev(w2), self._dev(scalars), pts_dev)
+
+    def _fri_commit_layer(self, values, layer: int):
+        def f(v0, v1):
+            rows = fri.pair_rows((v0, v1), self.xp)
+            layers = merkle.build_layers(ps.hash_rows(rows), self.config.cap_height)
+            return layers
+
+        return self._stage(f"fri_commit_{layer}", f)(values[0], values[1])
+
+    def _fri_fold(self, values, beta, x_invs, layer: int):
+        def f(v0, v1, b, xi):
+            out = fri.fold_layer((v0, v1), (b[0], b[1]), xi, self.xp)
+            return out[0], out[1]
+
+        b = np.asarray(beta, dtype=np.uint64)
+        return self._stage(f"fri_fold_{layer}", f)(values[0], values[1], self._dev(b), self._dev(x_invs))
+
+    def _find_pow(self, challenge: int) -> int:
+        pow_bits = self.config.pow_bits
+        chunk = 1 << min(max(pow_bits, 10), 16)
+
+        def f(states):
+            return ps.permute(states)[:, 0]
+
+        stage = self._stage("pow", f)
+        start = 0
+        while start < (1 << (pow_bits + 10)):
+            states = np.zeros((chunk, ps.WIDTH), dtype=np.uint64)
+            states[:, 0] = np.uint64(challenge)
+            states[:, 1] = np.arange(start, start + chunk, dtype=np.uint64)
+            out = np.asarray(stage(self._dev(states)))
+            idx = np.nonzero(out >> np.uint64(64 - pow_bits) == 0)[0]
+            if idx.size:
+                return start + int(idx[0])
+            start += chunk
+        raise RuntimeError("pow search exhausted")
+
+    # -- main -----------------------------------------------------------
+    def prove(self, trace: np.ndarray, pis) -> StarkProof:
+        xp = self.xp
+        n, n0, num_cols = self.n, self.n0, self.num_cols
+        config = self.config
+        pis = [int(x) % gl.P for x in pis]
+        assert trace.shape == (n, num_cols)
+        assert len(pis) == self.air.num_pis
+
+        # 1. trace commitment
+        trace_lde, trace_coeffs, trace_layers = self._commit_trace(self._dev(trace))
+        trace_layers_np = [np.asarray(l) for l in trace_layers]
+        trace_cap = trace_layers_np[-1]
+
+        ch = Challenger()
+        ch.observe_many(pis)
+        ch.observe_cap(trace_cap)
+        alphas = ch.get_challenges(config.num_challenges)
+
+        # 2. quotient
+        pis_arr = self._dev(np.asarray(pis, dtype=np.uint64)) if pis else self._dev(
+            np.zeros(1, dtype=np.uint64)
+        )
+        qv = self._quotient(
+            trace_lde,
+            self._dev(np.asarray(alphas, dtype=np.uint64)),
+            pis_arr,
+            self._dev(self.filters_np),
+            self._dev(self.zh_inv_np),
+            self._dev(self.const_lde_np),
+        )
+        q_chunk_coeffs, q_lde, q_layers = self._commit_quotient(qv)
+        q_layers_np = [np.asarray(l) for l in q_layers]
+        q_cap = q_layers_np[-1]
+        ch.observe_cap(q_cap)
+
+        zeta = ch.get_ext_challenge()
+        zeta_g = gl.ext_scalar_mul(zeta, self.g)
+
+        # 3. openings
+        pows_z = ext_powers(zeta, n)
+        pows_zg = ext_powers(zeta_g, n)
+        trace_local = self._open_at(trace_coeffs, pows_z)
+        trace_next = self._open_at(trace_coeffs, pows_zg)
+        quotient_open = self._open_at(q_chunk_coeffs, pows_z)
+        for arr in (trace_local, trace_next, quotient_open):
+            for row in arr:
+                ch.observe(int(row[0]))
+                ch.observe(int(row[1]))
+
+        gamma = ch.get_ext_challenge()
+
+        # 4. DEEP composition
+        nq = quotient_open.shape[0]
+        j1, j2 = num_cols + nq, num_cols
+        weights = ext_powers(gamma, j1 + j2)
+        open1 = np.concatenate([trace_local, quotient_open], axis=0)
+        r1_zeta = ext_dot_ext(weights[:j1], open1.astype(np.uint64))
+        r2_zetag = ext_dot_ext(weights[j1:], trace_next.astype(np.uint64))
+        values = self._deep(
+            trace_lde, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g, self._dev(self.pts_np)
+        )
+
+        # 5. FRI commit phase
+        layer_caps = []
+        layer_layers_np = []
+        layer_values_np = []
+        betas = []
+        for l in range(self.num_folds):
+            layers = self._fri_commit_layer(values, l)
+            layers_np = [np.asarray(x) for x in layers]
+            layer_layers_np.append(layers_np)
+            layer_values_np.append((np.asarray(values[0]), np.asarray(values[1])))
+            cap = layers_np[-1]
+            layer_caps.append(cap)
+            ch.observe_cap(cap)
+            beta = ch.get_ext_challenge()
+            betas.append(beta)
+            values = self._fri_fold(values, beta, self.x_invs_np[l], l)
+
+        fc0 = np.asarray(ntt.coset_interpolate(np.asarray(values[0]), self.final_shift))
+        fc1 = np.asarray(ntt.coset_interpolate(np.asarray(values[1]), self.final_shift))
+        final_len = self.final_size // self.blowup
+        assert not fc0[final_len:].any() and not fc1[final_len:].any(), "FRI degree overflow"
+        final_coeffs = np.stack([fc0[:final_len], fc1[:final_len]], axis=1)
+        for c in final_coeffs:
+            ch.observe(int(c[0]))
+            ch.observe(int(c[1]))
+
+        # 6. grinding + queries
+        pow_challenge = ch.get_challenge()
+        nonce = self._find_pow(pow_challenge)
+        ch.observe(nonce)
+        indices = ch.get_indices(config.num_queries, n0)
+
+        idx_dev = self._dev(np.asarray(indices, dtype=np.int64))
+        trace_rows = np.asarray(trace_lde[idx_dev])
+        q_rows = np.asarray(q_lde[idx_dev])
+
+        query_rounds = []
+        for qi, index in enumerate(indices):
+            steps = []
+            pos = index
+            for l in range(self.num_folds):
+                size = n0 >> l
+                half = size // 2
+                pos_in = pos % half
+                v0, v1 = layer_values_np[l]
+                pair = np.asarray(
+                    [[v0[pos_in], v1[pos_in]], [v0[pos_in + half], v1[pos_in + half]]],
+                    dtype=np.uint64,
+                )
+                steps.append(FriStep(pair=pair, path=merkle.prove_path(layer_layers_np[l], pos_in)))
+                pos = pos_in
+            query_rounds.append(
+                FriQueryRound(
+                    index=index,
+                    trace_row=trace_rows[qi],
+                    trace_path=merkle.prove_path(trace_layers_np, index),
+                    quotient_row=q_rows[qi],
+                    quotient_path=merkle.prove_path(q_layers_np, index),
+                    steps=steps,
+                )
+            )
+
+        return StarkProof(
+            trace_cap=trace_cap,
+            quotient_cap=q_cap,
+            trace_local=trace_local,
+            trace_next=trace_next,
+            quotient_open=quotient_open,
+            fri=FriProof(
+                layer_caps=layer_caps,
+                final_coeffs=final_coeffs,
+                pow_nonce=nonce,
+                query_rounds=query_rounds,
+            ),
+        )
+
+
+def prove(air, trace: np.ndarray, pis, config: StarkConfig, xp=None) -> StarkProof:
+    """Convenience wrapper; caches a StarkProver on the air instance."""
+    key = "_prover_np" if xp is np else "_prover_jax"
+    prover = getattr(air, key, None)
+    if prover is None or prover.config != config:
+        prover = StarkProver(air, config, xp=xp)
+        setattr(air, key, prover)
+    return prover.prove(trace, pis)

@@ -1,0 +1,236 @@
+"""STARK verifier: host-side, numpy-vectorized where bulk hashing matters.
+
+Mirrors prover.py's transcript exactly (same Challenger class). Checks:
+
+1. challenge derivation (caps/openings observed in identical order);
+2. the quotient identity at zeta:
+      sum_k zeta^{n k} Q_k(zeta) * Z_H(zeta) == combined constraints(zeta)
+   where the constraint combination re-runs the SAME `air.eval` through
+   `ExtScalarAlgebra` (no hand-written mirror, unlike the reference's
+   eval_packed_generic / eval_ext_circuit pair);
+3. proof-of-work grinding;
+4. every FRI query round: Merkle paths for trace/quotient rows and fold
+   layers, the DEEP composition value at the query point, arity-2 fold
+   consistency, and the final-polynomial evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+from . import fri, merkle
+from . import poseidon as ps
+from .air import Ctx, ExtScalarAlgebra
+from .challenger import Challenger
+from .config import StarkConfig
+from . import ntt
+from .prover import SHIFT, check_pow, ext_powers, filter_at_point
+from .proof import StarkProof
+
+
+def _eval_cols_at(coeffs: np.ndarray, point) -> np.ndarray:
+    """Evaluate base-coeff column polys (n, K) at ext point -> (K, 2) object."""
+    pows = ext_powers(point, coeffs.shape[0])
+    c0 = gl.gl_sum(gl.gl_mul(coeffs, pows[:, 0][:, None]), axis=0)
+    c1 = gl.gl_sum(gl.gl_mul(coeffs, pows[:, 1][:, None]), axis=0)
+    return np.stack([np.asarray(c0), np.asarray(c1)], axis=1).astype(object)
+
+
+class VerificationError(Exception):
+    pass
+
+
+def _req(cond, msg):
+    if not cond:
+        raise VerificationError(msg)
+
+
+def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
+    """Raises VerificationError on any failure; returns None on success."""
+    n = air.num_rows
+    num_cols = air.num_cols
+    blowup = config.blowup
+    n0 = n * blowup
+    pis = [int(x) % gl.P for x in pis]
+    _req(len(pis) == air.num_pis, "bad public input count")
+    factor = air.quotient_degree_factor()
+    nq = config.num_challenges * factor
+    _req(proof.quotient_open.shape[0] == nq, "bad quotient opening count")
+    _req(proof.trace_local.shape[0] == num_cols, "bad trace opening count")
+
+    # ---- transcript --------------------------------------------------
+    ch = Challenger()
+    ch.observe_many(pis)
+    ch.observe_cap(proof.trace_cap)
+    alphas = ch.get_challenges(config.num_challenges)
+    ch.observe_cap(proof.quotient_cap)
+    zeta = ch.get_ext_challenge()
+    g = gl.primitive_root_of_unity(n.bit_length() - 1)
+    zeta_g = gl.ext_scalar_mul(zeta, g)
+    for arr in (proof.trace_local, proof.trace_next, proof.quotient_open):
+        for row in arr:
+            ch.observe(int(row[0]))
+            ch.observe(int(row[1]))
+    gamma = ch.get_ext_challenge()
+    num_folds = config.fri_num_folds(n0)
+    _req(len(proof.fri.layer_caps) == num_folds, "bad FRI layer count")
+    betas = []
+    for cap in proof.fri.layer_caps:
+        ch.observe_cap(cap)
+        betas.append(ch.get_ext_challenge())
+    final_len = (n0 >> num_folds) // blowup
+    _req(proof.fri.final_coeffs.shape[0] == final_len, "bad final poly length")
+    for c in proof.fri.final_coeffs:
+        ch.observe(int(c[0]))
+        ch.observe(int(c[1]))
+    pow_challenge = ch.get_challenge()
+    _req(check_pow(pow_challenge, proof.fri.pow_nonce, config.pow_bits), "bad grinding witness")
+    ch.observe(proof.fri.pow_nonce)
+    indices = ch.get_indices(config.num_queries, n0)
+    _req([qr.index for qr in proof.fri.query_rounds] == indices, "query indices mismatch")
+
+    # ---- quotient identity at zeta ----------------------------------
+    alg = ExtScalarAlgebra()
+    t_local = np.asarray(proof.trace_local, dtype=np.uint64).astype(object)
+    t_next = np.asarray(proof.trace_next, dtype=np.uint64).astype(object)
+
+    def local_fn(col, width=None):
+        return t_local[col] if width is None else t_local[col : col + width]
+
+    def next_fn(col, width=None):
+        return t_next[col] if width is None else t_next[col : col + width]
+
+    def pi_fn(idx, width=None):
+        if width is None:
+            return np.array([pis[idx], 0], dtype=object)
+        return np.array([[v, 0] for v in pis[idx : idx + width]], dtype=object)
+
+    const = air.constant_columns()
+    if const is not None:
+        c_coeffs = ntt.interpolate(np.asarray(const, dtype=np.uint64))
+        c_zeta = _eval_cols_at(c_coeffs, zeta)
+        c_zeta_g = _eval_cols_at(c_coeffs, zeta_g)
+    else:
+        c_zeta = c_zeta_g = np.zeros((1, 2), dtype=object)
+
+    def const_fn(col, width=None):
+        return c_zeta[col] if width is None else c_zeta[col : col + width]
+
+    def const_next_fn(col, width=None):
+        return c_zeta_g[col] if width is None else c_zeta_g[col : col + width]
+
+    ctx = Ctx(alg, local_fn, next_fn, pi_fn, const_fn, const_next_fn)
+    air.eval(ctx)
+
+    zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
+    filt_cache = {}
+    for ci, alpha in enumerate(alphas):
+        acc = gl.EXT_ZERO
+        for filt, data, _deg in reversed(ctx.constraints):
+            rows = alg.rows(data)
+            grp = None
+            for r in reversed(rows):
+                rv = (int(r[0]), int(r[1]))
+                grp = rv if grp is None else gl.ext_add(gl.ext_scalar_mul(grp, alpha), rv)
+            if filt not in filt_cache:
+                filt_cache[filt] = filter_at_point(filt, n, zeta)
+            if filt[0] != "every":
+                grp = gl.ext_mul(grp, filt_cache[filt])
+            acc = gl.ext_add(gl.ext_scalar_mul(acc, pow(alpha, len(rows), gl.P)), grp)
+        # sum_k zeta^{nk} * Q_{ci,k}(zeta)
+        zn = gl.ext_pow(zeta, n)
+        q_sum = gl.EXT_ZERO
+        zpow = gl.EXT_ONE
+        for k in range(factor):
+            q_k = (int(proof.quotient_open[ci * factor + k, 0]), int(proof.quotient_open[ci * factor + k, 1]))
+            q_sum = gl.ext_add(q_sum, gl.ext_mul(zpow, q_k))
+            zpow = gl.ext_mul(zpow, zn)
+        _req(gl.ext_mul(q_sum, zh_zeta) == acc, f"quotient identity failed (challenge {ci})")
+
+    # ---- DEEP / FRI queries -----------------------------------------
+    j1 = num_cols + nq
+    j2 = num_cols
+    weights = ext_powers(gamma, j1 + j2)
+    open1 = np.concatenate([proof.trace_local, proof.quotient_open], axis=0)
+    r1_zeta = gl.EXT_ZERO
+    for j in range(j1):
+        r1_zeta = gl.ext_add(
+            r1_zeta, gl.ext_mul((int(weights[j, 0]), int(weights[j, 1])), (int(open1[j, 0]), int(open1[j, 1])))
+        )
+    r2_zetag = gl.EXT_ZERO
+    for j in range(j2):
+        r2_zetag = gl.ext_add(
+            r2_zetag,
+            gl.ext_mul(
+                (int(weights[j1 + j, 0]), int(weights[j1 + j, 1])),
+                (int(proof.trace_next[j, 0]), int(proof.trace_next[j, 1])),
+            ),
+        )
+
+    w_n0 = gl.primitive_root_of_unity(n0.bit_length() - 1)
+
+    # batch-hash all opened rows (numpy-vectorized Poseidon)
+    trace_rows = np.stack([qr.trace_row for qr in proof.fri.query_rounds]).astype(np.uint64)
+    q_rows = np.stack([qr.quotient_row for qr in proof.fri.query_rounds]).astype(np.uint64)
+    trace_leaf_digs = ps.hash_rows(trace_rows)
+    q_leaf_digs = ps.hash_rows(q_rows)
+    step_rows = []
+    for qr in proof.fri.query_rounds:
+        pos = qr.index
+        for l, st in enumerate(qr.steps):
+            step_rows.append(np.asarray([st.pair[0, 0], st.pair[0, 1], st.pair[1, 0], st.pair[1, 1]], dtype=np.uint64))
+    step_digs = ps.hash_rows(np.stack(step_rows)) if step_rows else np.zeros((0, 4), np.uint64)
+
+    si = 0
+    for qi, qr in enumerate(proof.fri.query_rounds):
+        index = qr.index
+        _req(
+            merkle.verify_path(trace_leaf_digs[qi], index, qr.trace_path, proof.trace_cap),
+            f"trace Merkle path failed (query {qi})",
+        )
+        _req(
+            merkle.verify_path(q_leaf_digs[qi], index, qr.quotient_path, proof.quotient_cap),
+            f"quotient Merkle path failed (query {qi})",
+        )
+        # DEEP value at x = SHIFT * w^index
+        x = SHIFT * pow(w_n0, index, gl.P) % gl.P
+        vals1 = np.concatenate([qr.trace_row, qr.quotient_row]).astype(np.uint64)
+        r1_x = _ext_dot_base(weights[:j1], vals1)
+        r2_x = _ext_dot_base(weights[j1:], qr.trace_row.astype(np.uint64))
+        f1 = gl.ext_mul(gl.ext_sub(r1_x, r1_zeta), gl.ext_inv(gl.ext_sub((x, 0), zeta)))
+        f2 = gl.ext_mul(gl.ext_sub(r2_x, r2_zetag), gl.ext_inv(gl.ext_sub((x, 0), zeta_g)))
+        value = gl.ext_add(f1, f2)
+
+        pos = index
+        shift_l, root_l, size_l = SHIFT, w_n0, n0
+        x_l = x
+        for l, st in enumerate(qr.steps):
+            half = size_l // 2
+            pos_in = pos % half
+            _req(
+                merkle.verify_path(step_digs[si], pos_in, st.path, proof.fri.layer_caps[l]),
+                f"FRI layer {l} Merkle path failed (query {qi})",
+            )
+            si += 1
+            pair = [(int(st.pair[0, 0]), int(st.pair[0, 1])), (int(st.pair[1, 0]), int(st.pair[1, 1]))]
+            mine = 0 if pos < half else 1
+            _req(pair[mine] == value, f"FRI fold input mismatch at layer {l} (query {qi})")
+            # x at tree position pos_in (the + branch); fold formula uses it
+            x_pos = shift_l * pow(root_l, pos_in, gl.P) % gl.P
+            value = fri.fold_scalar(pair[0], pair[1], betas[l], x_pos)
+            pos = pos_in
+            shift_l = shift_l * shift_l % gl.P
+            root_l = root_l * root_l % gl.P
+            size_l = half
+            x_l = x_l * x_l % gl.P
+        # final polynomial evaluation at x_l = x^(2^folds)
+        expect = fri.eval_final_poly(proof.fri.final_coeffs, (x_l, 0))
+        _req(expect == value, f"final poly mismatch (query {qi})")
+
+
+def _ext_dot_base(weights: np.ndarray, values: np.ndarray):
+    """Sum_j weights[j] (ext) * values[j] (base) -> ext tuple, numpy fast."""
+    c0 = gl.gl_sum(gl.gl_mul(weights[:, 0], values), axis=0)
+    c1 = gl.gl_sum(gl.gl_mul(weights[:, 1], values), axis=0)
+    return (int(c0), int(c1))
