@@ -98,6 +98,14 @@ class V:
     def __neg__(self):
         return V(self.alg, self.alg.neg(self.d), self.deg)
 
+    def __getitem__(self, idx):
+        """Leading-dim indexing/broadcast reshaping of stacked values.
+
+        Only use forms that are agnostic to trailing axes: `v[k]`, `v[a:b]`,
+        `v[:, None]`, `v[None]` — the prover's trailing axis is the domain,
+        the verifier's is the GF(p^2) pair."""
+        return V(self.alg, self.alg.index(self.d, idx), self.deg)
+
 
 # ---------------------------------------------------------------------------
 # Algebras
@@ -131,6 +139,9 @@ class BaseVectorAlgebra:
         if data.ndim <= 1:
             return [data]
         return [r for r in data.reshape(-1, data.shape[-1])]
+
+    def index(self, data, idx):
+        return data[idx]
 
     def zero_accum(self, npoints):
         return self.xp.zeros((npoints,), dtype=self.xp.uint64)
@@ -168,6 +179,9 @@ class ExtScalarAlgebra:
             return [data]
         return [r for r in data.reshape(-1, 2)]
 
+    def index(self, data, idx):
+        return data[idx]
+
     def zero_accum(self, npoints):
         return np.array([0, 0], dtype=object)
 
@@ -191,6 +205,9 @@ class DegreeAlgebra:
 
     def rows(self, data):
         return [data]
+
+    def index(self, data, idx):
+        return data
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Chip infrastructure: column allocation, constant selector patterns, wiring.
+
+The reference identifies every op gadget by compile-time column offsets and
+gates its constraints with witness selector columns filled alongside the
+data (SURVEY.md §1 "key architectural idiom"). Here:
+
+* `Alloc` hands out witness / constant column ranges;
+* constant selector patterns (which rows a gadget is active on, bit
+  schedules, phase indicators) are interned into PUBLIC constant columns —
+  computed by the verifier, not committed, impossible to forge, and free of
+  the reference's unconstrained-selector soundness gap;
+* `Wiring` records equality bindings between column ranges at fixed row
+  sets (the reference does this with per-stark selector-gated constraint
+  code, e.g. miller_loop.rs:180-190 R-register chaining).
+
+Gadgets allocate their columns in __init__, write witness rows in
+`fill(trace, row0, ...)` (numpy, vectorized across limbs), and emit
+constraints once in `eval(ctx)` — the same eval serves prover and verifier
+through the backend's algebra abstraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Alloc:
+    def __init__(self):
+        self.n = 0
+
+    def take(self, width: int) -> int:
+        off = self.n
+        self.n += width
+        return off
+
+
+class ChipBuilder:
+    """Shared per-air builder: witness columns, interned constant patterns,
+    wiring constraints."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+        self.wit = Alloc()
+        self.con = Alloc()
+        self._patterns: dict = {}  # frozenset(rows) -> const col
+        self._group_patterns: dict = {}  # tuple of frozensets -> base col
+        self.wirings: list = []  # (rows_key, col_a, col_b, width)
+        self.const_bindings: list = []  # (rows_key, col, values tuple)
+        self.pi_bindings: list = []  # (rows_key, col, pi_idx, width)
+
+    # -- constant selector patterns -------------------------------------
+    def indicator(self, rows) -> int:
+        key = frozenset(rows)
+        if key not in self._patterns:
+            self._patterns[key] = self.con.take(1)
+        return self._patterns[key]
+
+    def indicator_group(self, row_sets) -> int:
+        """Contiguous block of indicator columns (for ctx.const(base, k))."""
+        key = tuple(frozenset(r) for r in row_sets)
+        if key not in self._group_patterns:
+            base = self.con.take(len(key))
+            self._group_patterns[key] = base
+        return self._group_patterns[key]
+
+    def build_const_matrix(self) -> np.ndarray | None:
+        k = self.con.n
+        if k == 0:
+            return None
+        mat = np.zeros((self.num_rows, k), dtype=np.uint64)
+        for rows, col in self._patterns.items():
+            for r in rows:
+                mat[r, col] = 1
+        for row_sets, base in self._group_patterns.items():
+            for j, rows in enumerate(row_sets):
+                for r in rows:
+                    mat[r, base + j] = 1
+        return mat
+
+    # -- wiring ----------------------------------------------------------
+    def wire(self, rows, col_a: int, col_b: int, width: int):
+        """Constrain trace[r, col_a:col_a+width] == trace[r, col_b:col_b+width]
+        for r in rows."""
+        self.wirings.append((frozenset(rows), col_a, col_b, width))
+
+    def bind_const(self, rows, col: int, values):
+        """Constrain trace[r, col:col+len(values)] == values (public ints)."""
+        self.const_bindings.append((frozenset(rows), col, tuple(int(v) for v in values)))
+
+    def bind_pi(self, rows, col: int, pi_idx: int, width: int):
+        """Constrain trace[r, col:col+width] == public_inputs[pi_idx:pi_idx+width]."""
+        self.pi_bindings.append((frozenset(rows), col, pi_idx, width))
+
+    def eval_wiring(self, ctx):
+        for rows, col_a, col_b, width in self.wirings:
+            sel = ctx.const(self.indicator(rows))
+            ctx.constraint(sel * (ctx.local(col_a, width) - ctx.local(col_b, width)))
+        for rows, col, values in self.const_bindings:
+            sel = ctx.const(self.indicator(rows))
+            vals = _const_vec(ctx, values)
+            ctx.constraint(sel * (ctx.local(col, len(values)) - vals))
+        for rows, col, pi_idx, width in self.pi_bindings:
+            sel = ctx.const(self.indicator(rows))
+            ctx.constraint(sel * (ctx.local(col, width) - ctx.pi(pi_idx, width)))
+
+    def finalize_wiring_patterns(self):
+        """Intern all wiring indicator patterns (call before building the
+        const matrix so eval-time lookups hit existing columns)."""
+        for rows, *_ in self.wirings:
+            self.indicator(rows)
+        for rows, *_ in self.const_bindings:
+            self.indicator(rows)
+        for rows, *_ in self.pi_bindings:
+            self.indicator(rows)
+
+
+def _const_vec(ctx, values):
+    """A stacked constant column vector (len(values), 1-broadcast)."""
+    import numpy as np
+
+    from ..backend.air import V
+
+    alg = ctx.alg
+    if alg.__class__.__name__ == "DegreeAlgebra":
+        return V(alg, 0, 0)
+    if alg.__class__.__name__ == "ExtScalarAlgebra":
+        data = np.array([[int(v), 0] for v in values], dtype=object)
+        return V(alg, data, 0)
+    xp = alg.xp
+    arr = np.asarray([int(v) for v in values], dtype=np.uint64).reshape(len(values), 1)
+    return V(alg, arr if xp is np else xp.asarray(arr), 0)
+
+
+def put(trace: np.ndarray, row: int, col: int, values):
+    values = np.asarray(values, dtype=np.uint64)
+    trace[row, col : col + values.shape[-1]] = values
+
+
+def put_rows(trace: np.ndarray, row0: int, col: int, values2d):
+    """values2d (k, w): write k consecutive rows starting at row0."""
+    values2d = np.asarray(values2d, dtype=np.uint64)
+    trace[row0 : row0 + values2d.shape[0], col : col + values2d.shape[1]] = values2d

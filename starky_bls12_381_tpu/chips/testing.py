@@ -1,0 +1,61 @@
+"""Trace-domain residual checking: the chip-level correctness harness.
+
+Evaluates an AIR's constraints directly over the trace rows (no LDE, no
+proof) and asserts each constraint vanishes wherever its filter requires.
+This is the cheap inner test loop for every gadget and stark (the tamper /
+prove / verify roundtrips sit on top). The reference has no equivalent —
+its chips are only exercised through full proofs (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..backend.air import BaseVectorAlgebra, Ctx
+
+
+def residuals(air, trace: np.ndarray, pis):
+    """Run air.eval over the trace domain; returns [(filter, residual array)]."""
+    n = air.num_rows
+    nxt = np.roll(trace, -1, axis=0)
+    const = air.constant_columns()
+    if const is None:
+        const = np.zeros((n, 1), dtype=np.uint64)
+    const = np.asarray(const, dtype=np.uint64)
+    cnxt = np.roll(const, -1, axis=0)
+    pis = [int(x) for x in pis]
+    alg = BaseVectorAlgebra(np)
+
+    def acc(mat):
+        return lambda c, w=None: mat[:, c] if w is None else mat[:, c : c + w].T
+
+    def pi_fn(idx, width=None):
+        if width is None:
+            return np.uint64(pis[idx])
+        return np.asarray(pis[idx : idx + width], dtype=np.uint64).reshape(width, 1)
+
+    ctx = Ctx(alg, acc(trace), acc(nxt), pi_fn, acc(const), acc(cnxt))
+    air.eval(ctx)
+    return [(filt, np.asarray(d)) for filt, d, _deg in ctx.constraints]
+
+
+def assert_zero_residuals(air, trace: np.ndarray, pis):
+    n = air.num_rows
+    bad = []
+    for ci, (filt, res) in enumerate(residuals(air, trace, pis)):
+        flat = res.reshape(-1, n)
+        if filt[0] == "every":
+            mask = np.ones(n, bool)
+        elif filt[0] == "transition":
+            mask = np.ones(n, bool)
+            mask[n - 1] = False
+        elif filt[0] == "row":
+            mask = np.zeros(n, bool)
+            mask[filt[1]] = True
+        else:
+            raise ValueError(filt)
+        viol = flat[:, mask].any(axis=1)
+        if viol.any():
+            rows = np.nonzero(flat[:, mask].any(axis=0))[0]
+            bad.append((ci, filt, int(viol.sum()), rows[:5]))
+    assert not bad, f"nonzero residuals: {bad[:10]}"
