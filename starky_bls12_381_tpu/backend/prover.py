@@ -268,7 +268,13 @@ class StarkProver:
 
         def f(q):
             q_coeffs_full = ntt.coset_interpolate(q, SHIFT)  # (n0, nc)
-            chunks = [q_coeffs_full[k * n : (k + 1) * n] for k in range(factor)]
+            nc = q.shape[1]
+            # challenge-major column order: [c0_k0, c0_k1, ..., c1_k0, ...]
+            chunks = [
+                q_coeffs_full[k * n : (k + 1) * n, ci : ci + 1]
+                for ci in range(nc)
+                for k in range(factor)
+            ]
             q_chunk_coeffs = self.xp.concatenate(chunks, axis=1)  # (n, nc*factor)
             q_lde = ntt.coset_evaluate(q_chunk_coeffs, self.n0, SHIFT)
             layers = merkle.build_layers(ps.hash_rows(q_lde), self.config.cap_height)
