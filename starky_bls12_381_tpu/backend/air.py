@@ -143,6 +143,22 @@ class BaseVectorAlgebra:
     def index(self, data, idx):
         return data[idx]
 
+    def lift_ints(self, arr: np.ndarray):
+        """Constant array (any shape) -> data broadcastable against stacked
+        trace values (adds the trailing domain axis)."""
+        a = np.asarray(arr, dtype=np.uint64)[..., None]
+        return a if self.xp is np else self.xp.asarray(a)
+
+    def combine_rows(self, data, alpha):
+        """sum_r alpha^r * row_r over the flattened leading dims.
+        Returns (combined (N,), num_rows)."""
+        if data.ndim <= 1:
+            return data, 1
+        flat = data.reshape(-1, data.shape[-1])
+        r = flat.shape[0]
+        w = gl.gl_powers_vec(alpha, r)
+        return gl.gl_sum(gl.gl_mul(flat, w[:, None]), axis=0), r
+
     def zero_accum(self, npoints):
         return self.xp.zeros((npoints,), dtype=self.xp.uint64)
 
@@ -182,6 +198,26 @@ class ExtScalarAlgebra:
     def index(self, data, idx):
         return data[idx]
 
+    def lift_ints(self, arr: np.ndarray):
+        a = np.asarray(arr, dtype=np.uint64)
+        out = np.zeros(a.shape + (2,), dtype=object)
+        out[..., 0] = a.astype(object)
+        return out
+
+    def combine_rows(self, data, alpha: int):
+        if data.ndim == 1:
+            return (int(data[0]), int(data[1])), 1
+        flat = data.reshape(-1, 2)
+        r = flat.shape[0]
+        pows = np.empty(r, dtype=object)
+        acc = 1
+        for i in range(r):
+            pows[i] = acc
+            acc = acc * alpha % gl.P
+        c0 = int((flat[:, 0] * pows).sum() % gl.P)
+        c1 = int((flat[:, 1] * pows).sum() % gl.P)
+        return (c0, c1), r
+
     def zero_accum(self, npoints):
         return np.array([0, 0], dtype=object)
 
@@ -209,6 +245,9 @@ class DegreeAlgebra:
     def index(self, data, idx):
         return data
 
+    def lift_ints(self, arr):
+        return 0
+
 
 # ---------------------------------------------------------------------------
 # Constraint context
@@ -226,29 +265,53 @@ class Ctx:
     they cannot be forged (see fp12_mul.rs:70-97, whose
     FP12_MUL_SELECTOR_OFFSET column is unconstrained witness)."""
 
-    def __init__(self, alg, local_fn, next_fn, pi_fn, const_fn=None, const_next_fn=None):
+    def __init__(self, alg, acc):
+        """`acc` provides gather access to the trace/constants/PIs: methods
+        local/next/const/const_next taking a column index array of any shape
+        (returning data of shape idx.shape + (domain,)), and pi likewise."""
         self.alg = alg
-        self._local = local_fn
-        self._next = next_fn
-        self._pi = pi_fn
-        self._const = const_fn or (lambda c, w=None: 1)
-        self._const_next = const_next_fn or (lambda c, w=None: 1)
+        self.acc = acc
         self.constraints: list[tuple[Any, Any, int]] = []
 
+    def _cols(self, col, width):
+        if width is None:
+            return col
+        return np.arange(col, col + width)
+
     def local(self, col: int, width: int | None = None) -> V:
-        return V(self.alg, self._local(col, width), 1)
+        return V(self.alg, self.acc.local(self._cols(col, width)), 1)
 
     def next(self, col: int, width: int | None = None) -> V:
-        return V(self.alg, self._next(col, width), 1)
+        return V(self.alg, self.acc.next(self._cols(col, width)), 1)
 
     def const(self, col: int, width: int | None = None) -> V:
-        return V(self.alg, self._const(col, width), 1)
+        return V(self.alg, self.acc.const(self._cols(col, width)), 1)
 
     def const_next(self, col: int, width: int | None = None) -> V:
-        return V(self.alg, self._const_next(col, width), 1)
+        return V(self.alg, self.acc.const_next(self._cols(col, width)), 1)
 
     def pi(self, idx: int, width: int | None = None) -> V:
-        return V(self.alg, self._pi(idx, width), 0)
+        return V(self.alg, self.acc.pi(self._cols(idx, width)), 0)
+
+    # -- gathered (instance-batched) access -----------------------------
+    def local_g(self, cols) -> V:
+        return V(self.alg, self.acc.local(np.asarray(cols)), 1)
+
+    def next_g(self, cols) -> V:
+        return V(self.alg, self.acc.next(np.asarray(cols)), 1)
+
+    def const_g(self, cols) -> V:
+        return V(self.alg, self.acc.const(np.asarray(cols)), 1)
+
+    def const_next_g(self, cols) -> V:
+        return V(self.alg, self.acc.const_next(np.asarray(cols)), 1)
+
+    def pi_g(self, idxs) -> V:
+        return V(self.alg, self.acc.pi(np.asarray(idxs)), 0)
+
+    def lift(self, arr) -> V:
+        """Constant integer array as a broadcastable value."""
+        return V(self.alg, self.alg.lift_ints(arr), 0)
 
     def c(self, v: int) -> V:
         return V(self.alg, self.alg.constant(v), 0)
@@ -264,6 +327,104 @@ class Ctx:
 
     def constraint_first_row(self, expr: V):
         self.constraint(expr, FIRST)
+
+
+# ---------------------------------------------------------------------------
+# Accessors: how a Ctx reads trace/const/PI data
+# ---------------------------------------------------------------------------
+
+
+class VectorAccessors:
+    """Prover-style: matrices of shape (domain, C); gathers produce
+    uint64 arrays of shape idx.shape + (domain,)."""
+
+    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr):
+        self.xp = xp
+        self._mats = {
+            "local": local_mat,
+            "next": next_mat,
+            "const": const_mat,
+            "const_next": const_next_mat,
+        }
+        self.pis = pis_arr
+
+    def _gather(self, name, cols):
+        mat = self._mats[name]
+        cols = np.asarray(cols)
+        if cols.ndim == 0:
+            return mat[:, int(cols)]
+        g = mat[:, cols.reshape(-1)]
+        g = self.xp.moveaxis(g, 0, -1)
+        return g.reshape(tuple(cols.shape) + (mat.shape[0],))
+
+    def local(self, cols):
+        return self._gather("local", cols)
+
+    def next(self, cols):
+        return self._gather("next", cols)
+
+    def const(self, cols):
+        return self._gather("const", cols)
+
+    def const_next(self, cols):
+        return self._gather("const_next", cols)
+
+    def pi(self, idxs):
+        idxs = np.asarray(idxs)
+        if idxs.ndim == 0:
+            return self.pis[int(idxs)]
+        return self.pis[idxs.reshape(-1)].reshape(tuple(idxs.shape))[..., None]
+
+
+class ScalarAccessors:
+    """Verifier-style: per-column GF(p^2) values, shape (C, 2) object."""
+
+    def __init__(self, local_vals, next_vals, const_vals, const_next_vals, pis):
+        self._mats = {
+            "local": local_vals,
+            "next": next_vals,
+            "const": const_vals,
+            "const_next": const_next_vals,
+        }
+        self.pis = [int(x) for x in pis]
+
+    def _gather(self, name, cols):
+        mat = self._mats[name]
+        cols = np.asarray(cols)
+        if cols.ndim == 0:
+            return mat[int(cols)]
+        return mat[cols]
+
+    def local(self, cols):
+        return self._gather("local", cols)
+
+    def next(self, cols):
+        return self._gather("next", cols)
+
+    def const(self, cols):
+        return self._gather("const", cols)
+
+    def const_next(self, cols):
+        return self._gather("const_next", cols)
+
+    def pi(self, idxs):
+        idxs = np.asarray(idxs)
+        if idxs.ndim == 0:
+            return np.array([self.pis[int(idxs)], 0], dtype=object)
+        vals = np.asarray([self.pis[i] for i in idxs.reshape(-1)], dtype=np.uint64)
+        out = np.zeros(vals.shape + (2,), dtype=object)
+        out[..., 0] = vals.astype(object)
+        return out.reshape(tuple(idxs.shape) + (2,))
+
+
+class DegreeAccessors:
+    def local(self, cols):
+        return 1
+
+    next = const = const_next = local
+
+    def pi(self, idxs):
+        return 0
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +454,7 @@ class Air:
 
     # -- static analysis ------------------------------------------------
     def _degree_ctx(self) -> Ctx:
-        one = lambda c, w=None: 1  # noqa: E731
-        ctx = Ctx(DegreeAlgebra(), one, one, lambda i, w=None: 0, one, one)
+        ctx = Ctx(DegreeAlgebra(), DegreeAccessors())
         self.eval(ctx)
         return ctx
 

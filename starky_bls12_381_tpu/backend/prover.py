@@ -28,7 +28,7 @@ import numpy as np
 from ..fields import goldilocks as gl
 from . import fri, merkle, ntt
 from . import poseidon as ps
-from .air import BaseVectorAlgebra, Ctx, DegreeAlgebra
+from .air import BaseVectorAlgebra, Ctx, DegreeAccessors, DegreeAlgebra, VectorAccessors
 from .challenger import Challenger
 from .config import StarkConfig
 from .proof import FriProof, FriQueryRound, FriStep, StarkProof
@@ -155,7 +155,7 @@ class StarkProver:
         self.g = gl.primitive_root_of_unity(self.n.bit_length() - 1)
 
         # discover the emission-ordered filter list via a degree pass
-        dctx = Ctx(DegreeAlgebra(), lambda c, w=None: 1, lambda c, w=None: 1, lambda i, w=None: 0)
+        dctx = Ctx(DegreeAlgebra(), DegreeAccessors())
         air.eval(dctx)
         filts = []
         for filt, _d, _deg in dctx.constraints:
@@ -227,36 +227,18 @@ class StarkProver:
             next_lde = xp.roll(lde_v, -self.blowup, axis=0)
             c_next = xp.roll(c_lde, -self.blowup, axis=0)
             alg = BaseVectorAlgebra(xp)
-
-            def local_fn(col, width=None):
-                return lde_v[:, col] if width is None else lde_v[:, col : col + width].T
-
-            def next_fn(col, width=None):
-                return next_lde[:, col] if width is None else next_lde[:, col : col + width].T
-
-            def const_fn(col, width=None):
-                return c_lde[:, col] if width is None else c_lde[:, col : col + width].T
-
-            def const_next_fn(col, width=None):
-                return c_next[:, col] if width is None else c_next[:, col : col + width].T
-
-            def pi_fn(idx, width=None):
-                return pis_a[idx] if width is None else pis_a[idx : idx + width, None]
-
-            ctx = Ctx(alg, local_fn, next_fn, pi_fn, const_fn, const_next_fn)
+            acc_ = VectorAccessors(xp, lde_v, next_lde, c_lde, c_next, pis_a)
+            ctx = Ctx(alg, acc_)
             self.air.eval(ctx)
             outs = []
             for ci in range(self.config.num_challenges):
                 alpha = alphas[ci]
                 acc = xp.zeros((self.n0,), dtype=xp.uint64)
                 for filt, data, _deg in reversed(ctx.constraints):
-                    rows = alg.rows(data)
-                    grp = None
-                    for r in reversed(rows):
-                        grp = r if grp is None else gl.gl_add(gl.gl_mul(grp, alpha), r)
+                    grp, nrows = alg.combine_rows(data, alpha)
                     if filt[0] != "every":
                         grp = gl.gl_mul(grp, filters_a[self.filter_index[filt]])
-                    a_pow = gl.gl_pow(alpha, len(rows))
+                    a_pow = gl.gl_pow(alpha, nrows)
                     acc = gl.gl_add(gl.gl_mul(acc, a_pow), grp)
                 outs.append(gl.gl_mul(acc, zh_inv))
             return xp.stack(outs, axis=1)  # (n0, nc)

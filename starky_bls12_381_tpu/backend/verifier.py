@@ -21,7 +21,7 @@ import numpy as np
 from ..fields import goldilocks as gl
 from . import fri, merkle
 from . import poseidon as ps
-from .air import Ctx, ExtScalarAlgebra
+from .air import Ctx, ExtScalarAlgebra, ScalarAccessors
 from .challenger import Challenger
 from .config import StarkConfig
 from . import ntt
@@ -95,17 +95,6 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
     t_local = np.asarray(proof.trace_local, dtype=np.uint64).astype(object)
     t_next = np.asarray(proof.trace_next, dtype=np.uint64).astype(object)
 
-    def local_fn(col, width=None):
-        return t_local[col] if width is None else t_local[col : col + width]
-
-    def next_fn(col, width=None):
-        return t_next[col] if width is None else t_next[col : col + width]
-
-    def pi_fn(idx, width=None):
-        if width is None:
-            return np.array([pis[idx], 0], dtype=object)
-        return np.array([[v, 0] for v in pis[idx : idx + width]], dtype=object)
-
     const = air.constant_columns()
     if const is not None:
         c_coeffs = ntt.interpolate(np.asarray(const, dtype=np.uint64))
@@ -114,13 +103,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
     else:
         c_zeta = c_zeta_g = np.zeros((1, 2), dtype=object)
 
-    def const_fn(col, width=None):
-        return c_zeta[col] if width is None else c_zeta[col : col + width]
-
-    def const_next_fn(col, width=None):
-        return c_zeta_g[col] if width is None else c_zeta_g[col : col + width]
-
-    ctx = Ctx(alg, local_fn, next_fn, pi_fn, const_fn, const_next_fn)
+    ctx = Ctx(alg, ScalarAccessors(t_local, t_next, c_zeta, c_zeta_g, pis))
     air.eval(ctx)
 
     zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
@@ -128,16 +111,12 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
     for ci, alpha in enumerate(alphas):
         acc = gl.EXT_ZERO
         for filt, data, _deg in reversed(ctx.constraints):
-            rows = alg.rows(data)
-            grp = None
-            for r in reversed(rows):
-                rv = (int(r[0]), int(r[1]))
-                grp = rv if grp is None else gl.ext_add(gl.ext_scalar_mul(grp, alpha), rv)
+            grp, nrows = alg.combine_rows(data, alpha)
             if filt not in filt_cache:
                 filt_cache[filt] = filter_at_point(filt, n, zeta)
             if filt[0] != "every":
                 grp = gl.ext_mul(grp, filt_cache[filt])
-            acc = gl.ext_add(gl.ext_scalar_mul(acc, pow(alpha, len(rows), gl.P)), grp)
+            acc = gl.ext_add(gl.ext_scalar_mul(acc, pow(alpha, nrows, gl.P)), grp)
         # sum_k zeta^{nk} * Q_{ci,k}(zeta)
         zn = gl.ext_pow(zeta, n)
         q_sum = gl.EXT_ZERO

@@ -47,6 +47,18 @@ class ChipBuilder:
         self.wirings: list = []  # (rows_key, col_a, col_b, width)
         self.const_bindings: list = []  # (rows_key, col, values tuple)
         self.pi_bindings: list = []  # (rows_key, col, pi_idx, width)
+        self.registry: dict = {}  # gadget type key -> [instances]
+
+    def register(self, key, inst):
+        self.registry.setdefault(key, []).append(inst)
+
+    def eval_all(self, ctx):
+        """Emit every registered gadget type's batched constraints plus all
+        wiring/binding constraints. Iteration order is insertion order, so
+        prover and verifier (same air instance/construction) agree."""
+        for key, insts in self.registry.items():
+            insts[0].eval_batched(ctx, insts)
+        self.eval_wiring(ctx)
 
     # -- constant selector patterns -------------------------------------
     def indicator(self, rows) -> int:
@@ -92,16 +104,38 @@ class ChipBuilder:
         self.pi_bindings.append((frozenset(rows), col, pi_idx, width))
 
     def eval_wiring(self, ctx):
-        for rows, col_a, col_b, width in self.wirings:
-            sel = ctx.const(self.indicator(rows))
-            ctx.constraint(sel * (ctx.local(col_a, width) - ctx.local(col_b, width)))
+        """Batched by width: one (G, width, domain) emission per group."""
+
+        def colmat(offs, w):
+            return np.asarray(offs, dtype=np.int64)[:, None] + np.arange(w, dtype=np.int64)[None, :]
+
+        groups: dict = {}
+        for rows, a, b, w in self.wirings:
+            groups.setdefault(w, []).append((self.indicator(rows), a, b))
+        for w in sorted(groups):
+            items = groups[w]
+            sel = ctx.const_g(np.asarray([s for s, _, _ in items])[:, None])
+            a = ctx.local_g(colmat([a for _, a, _ in items], w))
+            b = ctx.local_g(colmat([b for _, _, b in items], w))
+            ctx.constraint(sel * (a - b))
+        cgroups: dict = {}
         for rows, col, values in self.const_bindings:
-            sel = ctx.const(self.indicator(rows))
-            vals = _const_vec(ctx, values)
-            ctx.constraint(sel * (ctx.local(col, len(values)) - vals))
+            cgroups.setdefault(len(values), []).append((self.indicator(rows), col, values))
+        for w in sorted(cgroups):
+            items = cgroups[w]
+            sel = ctx.const_g(np.asarray([s for s, _, _ in items])[:, None])
+            a = ctx.local_g(colmat([c for _, c, _ in items], w))
+            vals = ctx.lift(np.asarray([list(v) for _, _, v in items], dtype=np.uint64))
+            ctx.constraint(sel * (a - vals))
+        pgroups: dict = {}
         for rows, col, pi_idx, width in self.pi_bindings:
-            sel = ctx.const(self.indicator(rows))
-            ctx.constraint(sel * (ctx.local(col, width) - ctx.pi(pi_idx, width)))
+            pgroups.setdefault(width, []).append((self.indicator(rows), col, pi_idx))
+        for w in sorted(pgroups):
+            items = pgroups[w]
+            sel = ctx.const_g(np.asarray([s for s, _, _ in items])[:, None])
+            a = ctx.local_g(colmat([c for _, c, _ in items], w))
+            p = ctx.pi_g(colmat([pi for _, _, pi in items], w))
+            ctx.constraint(sel * (a - p))
 
     def finalize_wiring_patterns(self):
         """Intern all wiring indicator patterns (call before building the

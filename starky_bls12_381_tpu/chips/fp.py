@@ -9,8 +9,10 @@ this backend:
   may be overlaid across alternative schedules (as the reference does in
   calc_pairing_precomp.rs:46) and every constraint stays degree <= 3, so
   every stark runs at rate_bits=1 (the reference needs 2 for some);
-* constraints are emitted as stacked (limb x domain) tensors — a handful
-  of wide vector ops per gadget on the TPU VPU;
+* constraint evaluation is TYPE-BATCHED: all G instances of a gadget type
+  evaluate through one gathered (G, limb, domain) emission — the traced
+  XLA graph stays a few hundred wide tensor ops even for the 100k-column
+  starks (the reference evaluates per-instance scalar constraints);
 * carries/borrows of additive chains carry explicit booleanity constraints
   (the reference leaves them unconstrained);
 * shifted-product cells outside the active window are pinned to zero
@@ -41,6 +43,34 @@ def _all_rows(row0s, nrows=12):
     return frozenset(r + i for r in row0s for i in range(nrows))
 
 
+def cm(offsets, width):
+    """Column index matrix (G, width) from per-instance base offsets."""
+    return np.asarray(offsets, dtype=np.int64)[:, None] + np.arange(width, dtype=np.int64)[None, :]
+
+
+def c1(offsets):
+    """Column index matrix (G, 1)."""
+    return np.asarray(offsets, dtype=np.int64)[:, None]
+
+
+class RegPinGadget:
+    """Pins a register (width cols) constant across consecutive rows."""
+
+    def __init__(self, cb: ChipBuilder, col: int, width: int, pin_rows):
+        self.col = col
+        self.width = width
+        self.s_pin = cb.indicator(frozenset(pin_rows))
+        cb.register(("regpin", width), self)
+
+    @staticmethod
+    def eval_batched(ctx, insts):
+        w = insts[0].width
+        pin = ctx.const_g(c1([i.s_pin for i in insts]))
+        a = ctx.local_g(cm([i.col for i in insts], w))
+        b = ctx.next_g(cm([i.col for i in insts], w))
+        ctx.constraint_transition(pin * (a - b))
+
+
 class FpMulGadget:
     """12-row schoolbook multiplication of two 12-limb values.
 
@@ -65,7 +95,7 @@ class FpMulGadget:
         self.s_pin = cb.indicator(_all_rows(self.row0s, 11))
         self.s_first = cb.indicator(_rows_of(self.row0s, 0))
         self.s_all = cb.indicator(_all_rows(self.row0s, 12))
-        self.out_row_off = 11  # result row offset within the window
+        cb.register("fpmul", self)
 
     def fill(self, trace, row0, x_int: int, y_int: int) -> int:
         x = limbs.to_limbs(x_int)
@@ -86,48 +116,60 @@ class FpMulGadget:
             put(trace, row0 + i, self.sum_c, carries)
         return x_int * y_int
 
-    def eval(self, ctx):
-        x, y = ctx.local(self.x, 12), ctx.local(self.y, 12)
-        xn, yn = ctx.next(self.x, 12), ctx.next(self.y, 12)
-        xy, c = ctx.local(self.xy, 13), ctx.local(self.xy_c, 12)
-        s = ctx.const(self.s_phase, 12)
-        pin = ctx.const(self.s_pin)
-        first = ctx.const(self.s_first)
-        s_all = ctx.const(self.s_all)
+    @staticmethod
+    def eval_batched(ctx, insts):
+        x = ctx.local_g(cm([i.x for i in insts], 12))
+        y = ctx.local_g(cm([i.y for i in insts], 12))
+        xn = ctx.next_g(cm([i.x for i in insts], 12))
+        yn = ctx.next_g(cm([i.y for i in insts], 12))
+        xy = ctx.local_g(cm([i.xy for i in insts], 13))
+        c = ctx.local_g(cm([i.xy_c for i in insts], 12))
+        s = ctx.const_g(cm([i.s_phase for i in insts], 12))
+        pin = ctx.const_g(c1([i.s_pin for i in insts]))
+        first = ctx.const_g(c1([i.s_first for i in insts]))
+        s_all = ctx.const_g(c1([i.s_all for i in insts]))
 
         # X/Y registers constant across the window
         ctx.constraint_transition(pin * (x - xn))
         ctx.constraint_transition(pin * (y - yn))
 
         # partial products with carry chain: row r0+i uses y-limb i
-        # j = 0: x[0]*y[i] == xy[0] + c[0]*2^32
-        ctx.constraint(s * (x[0] * y - xy[0] - c[0] * B32))
-        # j >= 1: x[j]*y[i] + c[j-1] == xy[j] + c[j]*2^32, stacked (12i, 11j)
+        ctx.constraint(s * (x[:, :1] * y - xy[:, :1] - c[:, :1] * B32))
         ctx.constraint(
-            s[:, None] * (x[1:][None] * y[:, None] + c[:11][None] - xy[1:12][None] - c[1:][None] * B32)
+            s[:, :, None]
+            * (
+                x[:, None, 1:] * y[:, :, None]
+                + c[:, None, :11]
+                - xy[:, None, 1:12]
+                - c[:, None, 1:] * B32
+            )
         )
-        # top limb
-        ctx.constraint(s_all * (xy[12] - c[11]))
+        ctx.constraint(s_all * (xy[:, 12:] - c[:, 11:]))
 
         # shifted partials: shifted[i + j] == xy[j], remainder pinned to 0
         for i in range(12):
-            ctx.constraint(s[i] * (ctx.local(self.shift + i, 13) - xy))
+            sh = ctx.local_g(cm([inst.shift + i for inst in insts], 13))
+            ctx.constraint(s[:, i : i + 1] * (sh - xy))
             if i:
-                ctx.constraint(s[i] * ctx.local(self.shift, i))
+                ctx.constraint(s[:, i : i + 1] * ctx.local_g(cm([inst.shift for inst in insts], i)))
             if i < 11:
-                ctx.constraint(s[i] * ctx.local(self.shift + i + 13, 11 - i))
+                ctx.constraint(
+                    s[:, i : i + 1] * ctx.local_g(cm([inst.shift + i + 13 for inst in insts], 11 - i))
+                )
 
         # running sum: first row copies shifted, then chains with carries
-        sm, smc = ctx.local(self.sum, 24), ctx.local(self.sum_c, 24)
-        sh_n = ctx.next(self.shift, 24)
-        sm_n, smc_n = ctx.next(self.sum, 24), ctx.next(self.sum_c, 24)
-        ctx.constraint(first * (sm - ctx.local(self.shift, 24)))
+        sm = ctx.local_g(cm([i.sum for i in insts], 24))
+        smc = ctx.local_g(cm([i.sum_c for i in insts], 24))
+        sh0 = ctx.local_g(cm([i.shift for i in insts], 24))
+        sm_n = ctx.next_g(cm([i.sum for i in insts], 24))
+        smc_n = ctx.next_g(cm([i.sum_c for i in insts], 24))
+        sh_n = ctx.next_g(cm([i.shift for i in insts], 24))
+        ctx.constraint(first * (sm - sh0))
         ctx.constraint(first * smc)
-        ctx.constraint_transition(pin * (sm_n[0] + smc_n[0] * B32 - sh_n[0] - sm[0]))
+        ctx.constraint_transition(pin * (sm_n[:, :1] + smc_n[:, :1] * B32 - sh_n[:, :1] - sm[:, :1]))
         ctx.constraint_transition(
-            pin * (sm_n[1:] + smc_n[1:] * B32 - sh_n[1:] - sm[1:] - smc_n[:23])
+            pin * (sm_n[:, 1:] + smc_n[:, 1:] * B32 - sh_n[:, 1:] - sm[:, 1:] - smc_n[:, :23])
         )
-        # sum carries are boolean
         ctx.constraint(s_all * smc * (smc - 1))
 
 
@@ -144,6 +186,7 @@ class AddNGadget:
         self.sum = w.take(n)
         self.carry = w.take(n)
         self.sel = cb.indicator(self.rows)
+        cb.register(("addn", n), self)
 
     def fill(self, trace, row, x_limbs, y_limbs):
         x = np.asarray(x_limbs, dtype=np.uint64)
@@ -155,12 +198,16 @@ class AddNGadget:
         put(trace, row, self.carry, c)
         return s
 
-    def eval(self, ctx):
-        sel = ctx.const(self.sel)
-        x, y = ctx.local(self.x, self.n), ctx.local(self.y, self.n)
-        s, c = ctx.local(self.sum, self.n), ctx.local(self.carry, self.n)
-        ctx.constraint(sel * (x[0] + y[0] - s[0] - c[0] * B32))
-        ctx.constraint(sel * (x[1:] + y[1:] + c[: self.n - 1] - s[1:] - c[1:] * B32))
+    @staticmethod
+    def eval_batched(ctx, insts):
+        n = insts[0].n
+        sel = ctx.const_g(c1([i.sel for i in insts]))
+        x = ctx.local_g(cm([i.x for i in insts], n))
+        y = ctx.local_g(cm([i.y for i in insts], n))
+        s = ctx.local_g(cm([i.sum for i in insts], n))
+        c = ctx.local_g(cm([i.carry for i in insts], n))
+        ctx.constraint(sel * (x[:, :1] + y[:, :1] - s[:, :1] - c[:, :1] * B32))
+        ctx.constraint(sel * (x[:, 1:] + y[:, 1:] + c[:, : n - 1] - s[:, 1:] - c[:, 1:] * B32))
         ctx.constraint(sel * c * (c - 1))
 
 
@@ -177,6 +224,7 @@ class SubNGadget:
         self.diff = w.take(n)
         self.borrow = w.take(n)
         self.sel = cb.indicator(self.rows)
+        cb.register(("subn", n), self)
 
     def fill(self, trace, row, x_limbs, y_limbs):
         x = np.asarray(x_limbs, dtype=np.uint64)
@@ -188,12 +236,16 @@ class SubNGadget:
         put(trace, row, self.borrow, b)
         return d
 
-    def eval(self, ctx):
-        sel = ctx.const(self.sel)
-        x, y = ctx.local(self.x, self.n), ctx.local(self.y, self.n)
-        d, b = ctx.local(self.diff, self.n), ctx.local(self.borrow, self.n)
-        ctx.constraint(sel * (x[0] + b[0] * B32 - y[0] - d[0]))
-        ctx.constraint(sel * (x[1:] + b[1:] * B32 - y[1:] - b[: self.n - 1] - d[1:]))
+    @staticmethod
+    def eval_batched(ctx, insts):
+        n = insts[0].n
+        sel = ctx.const_g(c1([i.sel for i in insts]))
+        x = ctx.local_g(cm([i.x for i in insts], n))
+        y = ctx.local_g(cm([i.y for i in insts], n))
+        d = ctx.local_g(cm([i.diff for i in insts], n))
+        b = ctx.local_g(cm([i.borrow for i in insts], n))
+        ctx.constraint(sel * (x[:, :1] + b[:, :1] * B32 - y[:, :1] - d[:, :1]))
+        ctx.constraint(sel * (x[:, 1:] + b[:, 1:] * B32 - y[:, 1:] - b[:, : n - 1] - d[:, 1:]))
         ctx.constraint(sel * b * (b - 1))
 
 
@@ -208,6 +260,7 @@ class MulSingleGadget:
         self.res = w.take(12)
         self.carry = w.take(12)
         self.sel = cb.indicator(self.rows)
+        cb.register("mulsingle", self)
 
     def fill(self, trace, row, x_limbs, y_limb: int):
         x = np.asarray(x_limbs, dtype=np.uint64)
@@ -218,12 +271,15 @@ class MulSingleGadget:
         put(trace, row, self.carry, c)
         return r
 
-    def eval(self, ctx):
-        sel = ctx.const(self.sel)
-        x, y = ctx.local(self.x, 12), ctx.local(self.y)
-        r, c = ctx.local(self.res, 12), ctx.local(self.carry, 12)
-        ctx.constraint(sel * (x[0] * y - r[0] - c[0] * B32))
-        ctx.constraint(sel * (x[1:] * y + c[:11] - r[1:] - c[1:] * B32))
+    @staticmethod
+    def eval_batched(ctx, insts):
+        sel = ctx.const_g(c1([i.sel for i in insts]))
+        x = ctx.local_g(cm([i.x for i in insts], 12))
+        y = ctx.local_g(c1([i.y for i in insts]))
+        r = ctx.local_g(cm([i.res for i in insts], 12))
+        c = ctx.local_g(cm([i.carry for i in insts], 12))
+        ctx.constraint(sel * (x[:, :1] * y - r[:, :1] - c[:, :1] * B32))
+        ctx.constraint(sel * (x[:, 1:] * y + c[:, :11] - r[:, 1:] - c[:, 1:] * B32))
 
 
 class RangeCheckGadget:
@@ -239,6 +295,7 @@ class RangeCheckGadget:
         self.carry = w.take(12)
         self.bits = w.take(32)
         self.sel = cb.indicator(self.rows)
+        cb.register("rangecheck", self)
 
     def fill(self, trace, row, x_limbs):
         x = np.asarray(x_limbs, dtype=np.uint64)
@@ -248,23 +305,23 @@ class RangeCheckGadget:
         put(trace, row, self.carry, c)
         put(trace, row, self.bits, limbs.get_bits_as_array(s[11]))
 
-    def eval(self, ctx):
-        from .core import _const_vec
-
-        sel = ctx.const(self.sel)
-        x = ctx.local(self.x, 12)
-        s, c = ctx.local(self.sum, 12), ctx.local(self.carry, 12)
-        b = ctx.local(self.bits, 32)
-        k = _const_vec(ctx, [int(v) for v in RC_OFFSET_LIMBS])
-        ctx.constraint(sel * (x[0] + k[0] - s[0] - c[0] * B32))
-        ctx.constraint(sel * (x[1:] + k[1:] + c[:11] - s[1:] - c[1:] * B32))
+    @staticmethod
+    def eval_batched(ctx, insts):
+        sel = ctx.const_g(c1([i.sel for i in insts]))
+        x = ctx.local_g(cm([i.x for i in insts], 12))
+        s = ctx.local_g(cm([i.sum for i in insts], 12))
+        c = ctx.local_g(cm([i.carry for i in insts], 12))
+        b = ctx.local_g(cm([i.bits for i in insts], 32))
+        k = ctx.lift(RC_OFFSET_LIMBS[None, :])
+        ctx.constraint(sel * (x[:, :1] + k[:, :1] - s[:, :1] - c[:, :1] * B32))
+        ctx.constraint(sel * (x[:, 1:] + k[:, 1:] + c[:, :11] - s[:, 1:] - c[:, 1:] * B32))
         ctx.constraint(sel * c * (c - 1))
         ctx.constraint(sel * b * (b - 1))
-        recomposed = b[0]
+        recomposed = b[:, :1]
         for k_ in range(1, 32):
-            recomposed = recomposed + b[k_] * (1 << k_)
-        ctx.constraint(sel * (recomposed - s[11]))
-        ctx.constraint(sel * (b[30] + b[31]))
+            recomposed = recomposed + b[:, k_ : k_ + 1] * (1 << k_)
+        ctx.constraint(sel * (recomposed - s[:, 11:]))
+        ctx.constraint(sel * (b[:, 30:31] + b[:, 31:32]))
 
 
 class Reduce24Gadget:
@@ -285,7 +342,7 @@ class Reduce24Gadget:
         cb.wire(out_rows, self.add.x, self.mul.sum, 24)
         cb.wire(out_rows, self.add.y, self.rem, 12)
         cb.bind_const(out_rows, self.add.y + 12, [0] * 12)
-        self.s_pin = cb.indicator(_all_rows(self.row0s, 11))
+        RegPinGadget(cb, self.rem, 12, _all_rows(self.row0s, 11))
 
     def wire_input(self, col24: int):
         """Bind the value being reduced (24 limbs at row r0+11)."""
@@ -299,17 +356,11 @@ class Reduce24Gadget:
         self.add.fill(trace, row0 + 11, limbs.to_limbs(div * P381, 24), limbs.to_limbs(rem, 24))
         return rem
 
-    def eval(self, ctx):
-        self.mul.eval(ctx)
-        self.add.eval(ctx)
-        pin = ctx.const(self.s_pin)
-        ctx.constraint_transition(pin * (ctx.local(self.rem, 12) - ctx.next(self.rem, 12)))
-
 
 class SingleReduceGadget:
     """12-limb mod-p reduction (div fits one limb): input == div*p + rem
-    (fp.rs:293-312, FP_SINGLE_REDUCE). Single row. Consumer wires `add.sum`
-    to its 12-limb input via `wire_input`."""
+    (fp.rs:293-312, FP_SINGLE_REDUCE) + range check. Single row. Consumer
+    wires `add.sum` to its 12-limb input via `wire_input`."""
 
     def __init__(self, cb: ChipBuilder, rows):
         self.cb = cb
@@ -334,11 +385,6 @@ class SingleReduceGadget:
         self.add.fill(trace, row, limbs.to_limbs(div * P381), limbs.to_limbs(rem))
         self.rc.fill(trace, row, limbs.to_limbs(rem))
         return rem
-
-    def eval(self, ctx):
-        self.mul.eval(ctx)
-        self.add.eval(ctx)
-        self.rc.eval(ctx)
 
 
 class FpMulReduceGadget:
@@ -365,8 +411,3 @@ class FpMulReduceGadget:
         rem = self.reduce.fill(trace, row0, prod)
         self.rc.fill(trace, row0 + 11, limbs.to_limbs(rem))
         return rem
-
-    def eval(self, ctx):
-        self.mul.eval(ctx)
-        self.reduce.eval(ctx)
-        self.rc.eval(ctx)

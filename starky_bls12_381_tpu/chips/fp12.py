@@ -86,7 +86,3 @@ class Fp12MulGadget:
         out = (x, y)
         assert out == bls.fp12_mul(a, b)
         return out
-
-    def eval(self, ctx):
-        for g in self._subs:
-            g.eval(ctx)

@@ -107,15 +107,6 @@ class Fp2MulGadget:
         assert out == (c0, c1)
         return out
 
-    def eval(self, ctx):
-        for g in (
-            self.t1, self.t2, self.t3, self.t4,
-            self.add_off, self.sub0, self.red0, self.rc0,
-            self.add1, self.red1, self.rc1,
-        ):
-            g.eval(ctx)
-
-
 class FpAddReduceGadget:
     """Single-row x + y mod p: Add12 then SingleReduce (+ its RC)."""
 
@@ -134,11 +125,6 @@ class FpAddReduceGadget:
     def fill(self, trace, row, x_int: int, y_int: int) -> int:
         self.add.fill(trace, row, limbs.to_limbs(x_int), limbs.to_limbs(y_int))
         return self.red.fill(trace, row, x_int + y_int)
-
-    def eval(self, ctx):
-        self.add.eval(ctx)
-        self.red.eval(ctx)
-
 
 class FpSubReduceGadget:
     """Single-row x - y mod p as (x + p) - y then reduce (fp2.rs:344-368)."""
@@ -160,12 +146,6 @@ class FpSubReduceGadget:
         self.sub.fill(trace, row, s, limbs.to_limbs(y_int))
         return self.red.fill(trace, row, x_int + P381 - y_int)
 
-    def eval(self, ctx):
-        self.add.eval(ctx)
-        self.sub.eval(ctx)
-        self.red.eval(ctx)
-
-
 class FpNegGadget:
     """Single-row negation: witness m with x + m == p (m = p - x; for
     x = 0 this yields the non-canonical m = p, exactly as the reference's
@@ -180,10 +160,6 @@ class FpNegGadget:
         m = P381 - x_int
         self.add.fill(trace, row, limbs.to_limbs(x_int), limbs.to_limbs(m))
         return m % P381
-
-    def eval(self, ctx):
-        self.add.eval(ctx)
-
 
 class Fp2Pair:
     """Helper bundling two single-component gadgets into an Fp2 op."""
@@ -201,11 +177,6 @@ class Fp2Pair:
             r0 = self.g0.fill(trace, row, a[0], b[0])
             r1 = self.g1.fill(trace, row, a[1], b[1])
         return (r0, r1)
-
-    def eval(self, ctx):
-        self.g0.eval(ctx)
-        self.g1.eval(ctx)
-
 
 def Fp2AddReduceGadget(cb, rows):
     return Fp2Pair(FpAddReduceGadget(cb, rows), FpAddReduceGadget(cb, rows))
@@ -236,11 +207,6 @@ class Fp2NonResidueGadget:
         assert (r0, r1) == bls.fp2_mul_by_nonresidue(a)
         return (r0, r1)
 
-    def eval(self, ctx):
-        self.sub.eval(ctx)
-        self.add.eval(ctx)
-
-
 class Fp2FpMulGadget:
     """(c0*s, c1*s) for fp scalar s: two FpMulReduce sharing y (fp2.rs:60-69)."""
 
@@ -255,11 +221,6 @@ class Fp2FpMulGadget:
         r0 = self.m0.fill(trace, row0, a[0], s)
         r1 = self.m1.fill(trace, row0, a[1], s)
         return (r0, r1)
-
-    def eval(self, ctx):
-        self.m0.eval(ctx)
-        self.m1.eval(ctx)
-
 
 class Fp2MulByBGadget:
     """* 4(1+u): t0 = 4c0, t1 = 4c1 (single-limb muls + reduce), output
@@ -292,7 +253,3 @@ class Fp2MulByBGadget:
         r1 = self.addg.fill(trace, row, t0, t1)
         assert (r0, r1) == bls.fp2_multiply_by_b(a)
         return (r0, r1)
-
-    def eval(self, ctx):
-        for g in (self.mul0, self.mul1, self.red0, self.red1, self.sub, self.addg):
-            g.eval(ctx)

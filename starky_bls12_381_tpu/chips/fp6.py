@@ -167,11 +167,6 @@ class Fp6MulGadget:
         assert out == bls.fp6_mul(a, b)
         return out
 
-    def eval(self, ctx):
-        for g in self._subs:
-            g.eval(ctx)
-
-
 def _ref_pair(g):
     """Fp2Ref for either an Fp2Pair (rem outputs) or a gadget with c0/c1."""
     if isinstance(g, Fp2Pair):
@@ -191,11 +186,6 @@ class Fp6AddGadget:
     def fill(self, trace, row, a, b):
         return tuple(p.fill(trace, row, x, y) for p, x, y in zip(self.parts, a, b))
 
-    def eval(self, ctx):
-        for p in self.parts:
-            p.eval(ctx)
-
-
 class Fp6SubGadget:
     """Component-wise Fp6 subtraction, single row (fp6.rs:58-61)."""
 
@@ -208,11 +198,6 @@ class Fp6SubGadget:
     def fill(self, trace, row, a, b):
         return tuple(p.fill(trace, row, x, y) for p, x, y in zip(self.parts, a, b))
 
-    def eval(self, ctx):
-        for p in self.parts:
-            p.eval(ctx)
-
-
 class Fp6NegGadget:
     """Component-wise Fp6 negation (fp6.rs:63-64)."""
 
@@ -223,11 +208,6 @@ class Fp6NegGadget:
 
     def fill(self, trace, row, a):
         return tuple(p.fill(trace, row, x) for p, x in zip(self.parts, a))
-
-    def eval(self, ctx):
-        for p in self.parts:
-            p.eval(ctx)
-
 
 class Fp6NonResidueGadget:
     """v * (c0,c1,c2) = (xi*c2, c0, c1): one Fp2 non-residue op; the other
@@ -244,6 +224,3 @@ class Fp6NonResidueGadget:
     def fill(self, trace, row, a):
         c = self.nr.fill(trace, row, a[2])
         return (c, a[0], a[1])
-
-    def eval(self, ctx):
-        self.nr.eval(ctx)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..backend.air import BaseVectorAlgebra, Ctx
+from ..backend.air import BaseVectorAlgebra, Ctx, VectorAccessors
 
 
 def residuals(air, trace: np.ndarray, pis):
@@ -23,18 +23,10 @@ def residuals(air, trace: np.ndarray, pis):
         const = np.zeros((n, 1), dtype=np.uint64)
     const = np.asarray(const, dtype=np.uint64)
     cnxt = np.roll(const, -1, axis=0)
-    pis = [int(x) for x in pis]
+    pis_arr = np.asarray([int(x) for x in pis], dtype=np.uint64) if len(pis) else np.zeros(1, np.uint64)
     alg = BaseVectorAlgebra(np)
-
-    def acc(mat):
-        return lambda c, w=None: mat[:, c] if w is None else mat[:, c : c + w].T
-
-    def pi_fn(idx, width=None):
-        if width is None:
-            return np.uint64(pis[idx])
-        return np.asarray(pis[idx : idx + width], dtype=np.uint64).reshape(width, 1)
-
-    ctx = Ctx(alg, acc(trace), acc(nxt), pi_fn, acc(const), acc(cnxt))
+    acc = VectorAccessors(np, trace, nxt, const, cnxt, pis_arr)
+    ctx = Ctx(alg, acc)
     air.eval(ctx)
     return [(filt, np.asarray(d)) for filt, d, _deg in ctx.constraints]
 

@@ -120,6 +120,18 @@ def gl_inv(a):
     return gl_pow(a, P - 2)
 
 
+def gl_powers_vec(alpha, count: int):
+    """[1, a, a^2, ..., a^(count-1)] for a scalar (possibly traced) alpha,
+    built in log2(count) doubling steps."""
+    xp = _xp(alpha)
+    p = xp.ones((1,), dtype=xp.uint64)
+    a = alpha
+    while p.shape[0] < count:
+        p = xp.concatenate([p, gl_mul(p, a)])
+        a = gl_mul(a, a)
+    return p[:count]
+
+
 def gl_sum(a, axis):
     """Modular sum along an axis via pairwise tree reduction (overflow-safe)."""
     xp = _xp(a)

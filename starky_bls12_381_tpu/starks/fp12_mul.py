@@ -73,8 +73,7 @@ class FP12MulAir(Air):
         return self._const
 
     def eval(self, ctx):
-        self.mul.eval(ctx)
-        self.cb.eval_wiring(ctx)
+        self.cb.eval_all(ctx)
 
     # -- trace generation ----------------------------------------------
     def generate_trace(self, x, y):

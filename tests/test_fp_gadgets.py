@@ -60,9 +60,7 @@ class _GadgetAir(Air):
         return self._const
 
     def eval(self, ctx):
-        for g in self.gadgets:
-            g.eval(ctx)
-        self.cb.eval_wiring(ctx)
+        self.cb.eval_all(ctx)
 
     def new_trace(self):
         return np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
