@@ -86,3 +86,72 @@ class Fp12MulGadget:
         out = (x, y)
         assert out == bls.fp12_mul(a, b)
         return out
+
+
+class Fp12MultiplyBy014Gadget:
+    """Sparse Fp12 multiplication by (o0, o1, 0, 0, o4, 0) — the Miller
+    loop line-function update (native.rs:1225-1241, fp12.rs:10-24).
+    Ports: a (Fp12Ref), o0/o1/o4 (Fp2Refs); output `out` (Fp12Ref)."""
+
+    def __init__(self, cb: ChipBuilder, row0s):
+        from .fp import _rows_of
+        from .fp2 import Fp2AddReduceGadget
+        from .fp6 import (
+            Fp6MultiplyBy01Gadget,
+            Fp6MultiplyBy1Gadget,
+            wire_fp2,
+        )
+
+        self.cb = cb
+        r11 = _rows_of(list(row0s), 11)
+        self.t0 = Fp6MultiplyBy01Gadget(cb, row0s)  # c0 * (o0, o1)
+        self.t1 = Fp6MultiplyBy1Gadget(cb, row0s)  # c1 * o4
+        self.t2 = Fp6NonResidueGadget(cb, r11)
+        self.x_out = Fp6AddGadget(cb, r11)
+        self.t3 = Fp6AddGadget(cb, r11)  # c1 + c0
+        self.t4 = Fp2AddReduceGadget(cb, r11)  # o1 + o4
+        self.t5 = Fp6MultiplyBy01Gadget(cb, row0s)  # t3 * (o0, t4)
+        self.t6 = Fp6SubGadget(cb, r11)
+        self.y_out = Fp6SubGadget(cb, r11)
+
+        self.a = (self.t0.c, self.t1.c)
+        self.o0 = self.t0.b0
+        self.o1 = self.t0.b1
+        self.o4 = self.t1.b1
+        c0, c1 = self.a
+        # t2 = v * t1 ; x = t2 + t0
+        cb.wire(r11, self.t2.a2[0], self.t1.out[2][0], 12)
+        cb.wire(r11, self.t2.a2[1], self.t1.out[2][1], 12)
+        t2_out = self.t2.out(self.t1.out)
+        wire_fp6(cb, r11, self.x_out.a, t2_out)
+        wire_fp6(cb, r11, self.x_out.b, self.t0.out)
+        # t3 = c1 + c0 ; t4 = o1 + o4 ; t5 = t3.multiply_by_01(o0, t4)
+        wire_fp6(cb, r11, self.t3.a, c1)
+        wire_fp6(cb, r11, self.t3.b, c0)
+        wire_fp2(cb, r11, (self.t4.g0.x, self.t4.g1.x), self.o1)
+        wire_fp2(cb, r11, (self.t4.g0.y, self.t4.g1.y), self.o4)
+        wire_fp6(cb, r11, self.t5.c, self.t3.out)
+        wire_fp2(cb, r11, self.t5.b0, self.o0)
+        wire_fp2(cb, r11, self.t5.b1, (self.t4.c0, self.t4.c1))
+        # t6 = t5 - t0 ; y = t6 - t1
+        wire_fp6(cb, r11, self.t6.a, self.t5.out)
+        wire_fp6(cb, r11, self.t6.b, self.t0.out)
+        wire_fp6(cb, r11, self.y_out.a, self.t6.out)
+        wire_fp6(cb, r11, self.y_out.b, self.t1.out)
+        self.out = (self.x_out.out, self.y_out.out)
+
+    def fill(self, trace, row0, a, o0, o1, o4):
+        r11 = row0 + 11
+        c0, c1 = a
+        t0 = self.t0.fill(trace, row0, c0, o0, o1)
+        t1 = self.t1.fill(trace, row0, c1, o4)
+        t2 = self.t2.fill(trace, r11, t1)
+        x = self.x_out.fill(trace, r11, t2, t0)
+        t3 = self.t3.fill(trace, r11, c1, c0)
+        t4 = self.t4.fill(trace, r11, o1, o4)
+        t5 = self.t5.fill(trace, row0, t3, o0, t4)
+        t6 = self.t6.fill(trace, r11, t5, t0)
+        y = self.y_out.fill(trace, r11, t6, t1)
+        out = (x, y)
+        assert out == bls.fp12_multiply_by_014(a, o0, o1, o4)
+        return out

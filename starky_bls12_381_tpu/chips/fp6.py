@@ -224,3 +224,101 @@ class Fp6NonResidueGadget:
     def fill(self, trace, row, a):
         c = self.nr.fill(trace, row, a[2])
         return (c, a[0], a[1])
+
+
+class Fp6MultiplyBy01Gadget:
+    """c * (b0 + b1 v): the sparse Fp6 multiplication of native.rs:876-899
+    (fp6.rs:70-86, :2314-2937). Ports: c (Fp6Ref), b0/b1 (Fp2Refs)."""
+
+    def __init__(self, cb: ChipBuilder, row0s):
+        self.cb = cb
+        r11 = _rows_of(list(row0s), 11)
+        self.m_t0 = Fp2MulGadget(cb, row0s)  # c0 * b0
+        self.m_t1 = Fp2MulGadget(cb, row0s)  # c1 * b1
+        self.m_t2 = Fp2MulGadget(cb, row0s)  # c2 * b1
+        self.nr_t3 = Fp2NonResidueGadget(cb, r11)
+        self.add_x = Fp2AddReduceGadget(cb, r11)
+        self.add_t4 = Fp2AddReduceGadget(cb, r11)  # b0 + b1
+        self.add_t5 = Fp2AddReduceGadget(cb, r11)  # c0 + c1
+        self.m_t6 = Fp2MulGadget(cb, row0s)  # t4 * t5
+        self.sub_t7 = Fp2SubReduceGadget(cb, r11)
+        self.sub_y = Fp2SubReduceGadget(cb, r11)
+        self.m_t8 = Fp2MulGadget(cb, row0s)  # c2 * b0
+        self.add_z = Fp2AddReduceGadget(cb, r11)
+
+        self.c = (
+            (self.m_t0.a0, self.m_t0.a1),
+            (self.m_t1.a0, self.m_t1.a1),
+            (self.m_t2.a0, self.m_t2.a1),
+        )
+        self.b0 = (self.m_t0.b0, self.m_t0.b1)
+        self.b1 = (self.m_t1.b0, self.m_t1.b1)
+        wire_fp2(cb, r11, (self.m_t2.b0, self.m_t2.b1), self.b1)
+        wire_fp2(cb, r11, (self.m_t8.a0, self.m_t8.a1), self.c[2])
+        wire_fp2(cb, r11, (self.m_t8.b0, self.m_t8.b1), self.b0)
+        wire_fp2(cb, r11, (self.nr_t3.a0, self.nr_t3.a1), (self.m_t2.c0, self.m_t2.c1))
+        wire_fp2(cb, r11, _pair_in_x(self.add_x), _ref_pair(self.nr_t3))
+        wire_fp2(cb, r11, _pair_in_y(self.add_x), (self.m_t0.c0, self.m_t0.c1))
+        wire_fp2(cb, r11, _pair_in_x(self.add_t4), self.b0)
+        wire_fp2(cb, r11, _pair_in_y(self.add_t4), self.b1)
+        wire_fp2(cb, r11, _pair_in_x(self.add_t5), self.c[0])
+        wire_fp2(cb, r11, _pair_in_y(self.add_t5), self.c[1])
+        wire_fp2(cb, r11, (self.m_t6.a0, self.m_t6.a1), _ref_pair(self.add_t4))
+        wire_fp2(cb, r11, (self.m_t6.b0, self.m_t6.b1), _ref_pair(self.add_t5))
+        wire_fp2(cb, r11, _pair_in_x(self.sub_t7), (self.m_t6.c0, self.m_t6.c1))
+        wire_fp2(cb, r11, _pair_in_y(self.sub_t7), (self.m_t0.c0, self.m_t0.c1))
+        wire_fp2(cb, r11, _pair_in_x(self.sub_y), _ref_pair(self.sub_t7))
+        wire_fp2(cb, r11, _pair_in_y(self.sub_y), (self.m_t1.c0, self.m_t1.c1))
+        wire_fp2(cb, r11, _pair_in_x(self.add_z), (self.m_t8.c0, self.m_t8.c1))
+        wire_fp2(cb, r11, _pair_in_y(self.add_z), (self.m_t1.c0, self.m_t1.c1))
+        self.out = (_ref_pair(self.add_x), _ref_pair(self.sub_y), _ref_pair(self.add_z))
+
+    def fill(self, trace, row0, c, b0, b1):
+        r11 = row0 + 11
+        t0 = self.m_t0.fill(trace, row0, c[0], b0)
+        t1 = self.m_t1.fill(trace, row0, c[1], b1)
+        t2 = self.m_t2.fill(trace, row0, c[2], b1)
+        t3 = self.nr_t3.fill(trace, r11, t2)
+        x = self.add_x.fill(trace, r11, t3, t0)
+        t4 = self.add_t4.fill(trace, r11, b0, b1)
+        t5 = self.add_t5.fill(trace, r11, c[0], c[1])
+        t6 = self.m_t6.fill(trace, row0, t4, t5)
+        t7 = self.sub_t7.fill(trace, r11, t6, t0)
+        y = self.sub_y.fill(trace, r11, t7, t1)
+        t8 = self.m_t8.fill(trace, row0, c[2], b0)
+        z = self.add_z.fill(trace, r11, t8, t1)
+        out = (x, y, z)
+        assert out == bls.fp6_multiply_by_01(c, b0, b1)
+        return out
+
+
+class Fp6MultiplyBy1Gadget:
+    """c * (b1 v): native.rs:901-917 (fp6.rs:92-99). Ports: c, b1."""
+
+    def __init__(self, cb: ChipBuilder, row0s):
+        self.cb = cb
+        r11 = _rows_of(list(row0s), 11)
+        self.m_t0 = Fp2MulGadget(cb, row0s)  # c2 * b1
+        self.nr_x = Fp2NonResidueGadget(cb, r11)
+        self.m_y = Fp2MulGadget(cb, row0s)  # c0 * b1
+        self.m_z = Fp2MulGadget(cb, row0s)  # c1 * b1
+        self.c = (
+            (self.m_y.a0, self.m_y.a1),
+            (self.m_z.a0, self.m_z.a1),
+            (self.m_t0.a0, self.m_t0.a1),
+        )
+        self.b1 = (self.m_t0.b0, self.m_t0.b1)
+        wire_fp2(cb, r11, (self.m_y.b0, self.m_y.b1), self.b1)
+        wire_fp2(cb, r11, (self.m_z.b0, self.m_z.b1), self.b1)
+        wire_fp2(cb, r11, (self.nr_x.a0, self.nr_x.a1), (self.m_t0.c0, self.m_t0.c1))
+        self.out = (_ref_pair(self.nr_x), (self.m_y.c0, self.m_y.c1), (self.m_z.c0, self.m_z.c1))
+
+    def fill(self, trace, row0, c, b1):
+        r11 = row0 + 11
+        t0 = self.m_t0.fill(trace, row0, c[2], b1)
+        x = self.nr_x.fill(trace, r11, t0)
+        y = self.m_y.fill(trace, row0, c[0], b1)
+        z = self.m_z.fill(trace, row0, c[1], b1)
+        out = (x, y, z)
+        assert out == bls.fp6_multiply_by_1(c, b1)
+        return out

@@ -84,3 +84,27 @@ def test_fp2_mul_overlay_two_windows():
     g.fill(trace, 0, _fp2(), _fp2())
     g.fill(trace, 12, _fp2(), _fp2())
     assert_zero_residuals(air, trace, [])
+
+
+def test_fp6_mul_gadget():
+    from starky_bls12_381_tpu.chips.fp6 import Fp6MulGadget
+
+    air = _GadgetAir(16, lambda cb: [Fp6MulGadget(cb, [0])])
+    g = air.gadgets[0]
+    trace = air.new_trace()
+    a = tuple(_fp2() for _ in range(3))
+    b = tuple(_fp2() for _ in range(3))
+    assert g.fill(trace, 0, a, b) == bls.fp6_mul(a, b)
+    assert_zero_residuals(air, trace, [])
+
+
+def test_fp12_mul014_gadget():
+    from starky_bls12_381_tpu.chips.fp12 import Fp12MultiplyBy014Gadget
+
+    air = _GadgetAir(16, lambda cb: [Fp12MultiplyBy014Gadget(cb, [0])])
+    g = air.gadgets[0]
+    trace = air.new_trace()
+    a = (tuple(_fp2() for _ in range(3)), tuple(_fp2() for _ in range(3)))
+    o0, o1, o4 = _fp2(), _fp2(), _fp2()
+    assert g.fill(trace, 0, a, o0, o1, o4) == bls.fp12_multiply_by_014(a, o0, o1, o4)
+    assert_zero_residuals(air, trace, [])
