@@ -1,0 +1,137 @@
+"""Benchmark: prove a BLS12-381 stark on the real TPU, print ONE JSON line.
+
+Run by the round driver on TPU hardware. Headline metric: MillerLoopStark
+prove wall time vs the reference's ~12.5 s on an AWS r6a.8xlarge
+(BASELINE.md / reference README.md:37). `vs_baseline` > 1 means faster
+than the reference.
+
+Select the stark with BENCH_STARK in {miller_loop, fp12_mul, ecc}.
+The first prove per process pays XLA compilation; we time the second
+(warm) prove — steady-state throughput is the production-relevant number
+and the jitted stages are cached per (air, config).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import starky_bls12_381_tpu  # noqa: F401  (x64 on)
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _trace_cached(name, builder):
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, name + ".npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        return data["trace"], [int(x) for x in data["pis"]]
+    trace, pis = builder()
+    np.savez_compressed(path, trace=trace, pis=np.asarray(pis, dtype=np.uint64))
+    return trace, pis
+
+
+def bench_miller_loop():
+    from starky_bls12_381_tpu.fields import bls12_381 as bls
+    from starky_bls12_381_tpu.starks.miller_loop import MillerLoopAir
+
+    air = MillerLoopAir()
+
+    def build():
+        # the reference's own golden test vector (native.rs:1480-1498)
+        pk_x = 2620359726099670991095913421423408052907220385587653382880494211997835858894431070728023161812841650498384724513574
+        pk_y = 3516737663249789719313994746945990853755171862112391852604784999536233979171013701039178918880615112139780777770781
+        hm = (
+            (2260803321181951703309420903406460477209912434020120381027413359130883713514969717876465885091628521232768207917010,
+             2651754974217764549573984422821173864573267897233450902768900290919635595830847280035238812354259899816422437732519),
+            (98328085801950751198634977711657076320088798571641012335466428770177401024922163125657710674003178075431656844523,
+             1156585784149709375944843577113354173925120574246839648967751052400396372157500751188298724114933365921247443786825),
+            (1, 0),
+        )
+        coeffs = bls.calc_pairing_precomp(*hm)
+        return air.generate_trace(pk_x, (-pk_y) % bls.P381, coeffs)
+
+    trace, pis = _trace_cached("miller_loop_v1", build)
+    return air, trace, pis, "miller_loop_prove_s", 12.5
+
+
+def bench_fp12_mul():
+    import random
+
+    from starky_bls12_381_tpu.fields.bls12_381 import P381
+    from starky_bls12_381_tpu.starks.fp12_mul import FP12MulAir
+
+    air = FP12MulAir()
+    rng = random.Random(0)
+
+    def build():
+        f = lambda: tuple(  # noqa: E731
+            tuple((rng.randrange(P381), rng.randrange(P381)) for _ in range(3)) for _ in range(2)
+        )
+        return air.generate_trace(f(), f())
+
+    trace, pis = _trace_cached("fp12_mul_v1", build)
+    return air, trace, pis, "fp12_mul_prove_s", 0.22
+
+
+def bench_ecc():
+    from starky_bls12_381_tpu.fields import bls12_381 as bls
+    from starky_bls12_381_tpu.starks.ecc_aggregate import ECCAggregateAir
+
+    air = ECCAggregateAir(num_points=512)
+
+    def build():
+        pts = [bls.G1_GEN]
+        for _ in range(511):
+            pts.append(bls.g1_double(pts[-1]))
+        bits = [1 if i % 3 != 1 else 0 for i in range(512)]
+        return air.generate_trace(pts, bits)
+
+    trace, pis = _trace_cached("ecc_agg_512_v1", build)
+    return air, trace, pis, "ecc_aggregate_prove_s", 3.0
+
+
+def main():
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.prover import StarkProver
+    from starky_bls12_381_tpu.backend.verifier import verify
+
+    which = os.environ.get("BENCH_STARK", "miller_loop")
+    air, trace, pis, metric, baseline = {
+        "miller_loop": bench_miller_loop,
+        "fp12_mul": bench_fp12_mul,
+        "ecc": bench_ecc,
+    }[which]()
+
+    config = StarkConfig(rate_bits=1, cap_height=4, num_queries=84, pow_bits=16)
+    prover = StarkProver(air, config)
+    t0 = time.time()
+    proof = prover.prove(trace, pis)
+    cold = time.time() - t0
+    t0 = time.time()
+    proof = prover.prove(trace, pis)
+    warm = time.time() - t0
+    verify(air, proof, pis, config)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(warm, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline / warm, 2),
+                "cold_s": round(cold, 1),
+                "proof_bytes": proof.size_bytes(),
+                "columns": air.num_cols,
+                "rows": air.num_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,12 @@ class Challenger:
         self.observe(e[0])
         self.observe(e[1])
 
+    def observe_array(self, arr):
+        """Absorb a wide uint64 array by its Poseidon tree digest (batched
+        hashing host-side; both prover and verifier use this same path)."""
+        for v in ps.hash_flat_tree(arr):
+            self.observe(v)
+
     # -- internals -----------------------------------------------------
     def _absorb_chunk(self):
         chunk = self.input_buf[: ps.RATE]

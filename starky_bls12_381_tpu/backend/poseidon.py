@@ -147,7 +147,10 @@ def hash_rows(rows):
     xp = gl._xp(rows)
     n, c = rows.shape
     n_full = c // RATE
-    state = xp.zeros((n, WIDTH), dtype=xp.uint64)
+    # derive the zero state from the input so it carries the same sharding
+    # variance inside shard_map (a plain zeros() is mesh-invariant and
+    # breaks the lax.scan carry type)
+    state = (rows[:, :1] & xp.uint64(0)) + xp.zeros((n, WIDTH), dtype=xp.uint64)
     if n_full:
         if xp is np:
             for i in range(n_full):
@@ -170,6 +173,22 @@ def hash_rows(rows):
         state = xp.concatenate([chunk, state[:, tail:]], axis=1)
         state = permute(state)
     return state[:, :CAP]
+
+
+def hash_flat_tree(arr) -> tuple:
+    """Digest of a flat uint64 array via a batched Poseidon binary tree:
+    leaves = rate-sized chunks (zero-padded), then pairwise compression.
+    Used by the challenger to absorb wide vectors (openings, PIs) in a few
+    BATCHED permutations instead of len/8 sequential ones."""
+    a = np.asarray(arr, dtype=np.uint64).reshape(-1)
+    k = max(1, -(-a.size // RATE))
+    k_pad = 1 << (k - 1).bit_length()
+    buf = np.zeros(k_pad * RATE, dtype=np.uint64)
+    buf[: a.size] = a
+    digs = hash_rows(buf.reshape(k_pad, RATE))
+    while digs.shape[0] > 1:
+        digs = compress_rows(digs[0::2], digs[1::2])
+    return tuple(int(x) for x in digs[0])
 
 
 def compress_rows(left, right):

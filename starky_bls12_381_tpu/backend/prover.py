@@ -355,7 +355,7 @@ class StarkProver:
         trace_cap = trace_layers_np[-1]
 
         ch = Challenger()
-        ch.observe_many(pis)
+        ch.observe_array(np.asarray(pis, dtype=np.uint64))
         ch.observe_cap(trace_cap)
         alphas = ch.get_challenges(config.num_challenges)
 
@@ -385,10 +385,7 @@ class StarkProver:
         trace_local = self._open_at(trace_coeffs, pows_z)
         trace_next = self._open_at(trace_coeffs, pows_zg)
         quotient_open = self._open_at(q_chunk_coeffs, pows_z)
-        for arr in (trace_local, trace_next, quotient_open):
-            for row in arr:
-                ch.observe(int(row[0]))
-                ch.observe(int(row[1]))
+        ch.observe_array(np.concatenate([trace_local, trace_next, quotient_open], axis=0))
 
         gamma = ch.get_ext_challenge()
 
@@ -425,9 +422,7 @@ class StarkProver:
         final_len = self.final_size // self.blowup
         assert not fc0[final_len:].any() and not fc1[final_len:].any(), "FRI degree overflow"
         final_coeffs = np.stack([fc0[:final_len], fc1[:final_len]], axis=1)
-        for c in final_coeffs:
-            ch.observe(int(c[0]))
-            ch.observe(int(c[1]))
+        ch.observe_array(final_coeffs)
 
         # 6. grinding + queries
         pow_challenge = ch.get_challenge()

@@ -61,17 +61,16 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
 
     # ---- transcript --------------------------------------------------
     ch = Challenger()
-    ch.observe_many(pis)
+    ch.observe_array(np.asarray(pis, dtype=np.uint64))
     ch.observe_cap(proof.trace_cap)
     alphas = ch.get_challenges(config.num_challenges)
     ch.observe_cap(proof.quotient_cap)
     zeta = ch.get_ext_challenge()
     g = gl.primitive_root_of_unity(n.bit_length() - 1)
     zeta_g = gl.ext_scalar_mul(zeta, g)
-    for arr in (proof.trace_local, proof.trace_next, proof.quotient_open):
-        for row in arr:
-            ch.observe(int(row[0]))
-            ch.observe(int(row[1]))
+    ch.observe_array(
+        np.concatenate([proof.trace_local, proof.trace_next, proof.quotient_open], axis=0)
+    )
     gamma = ch.get_ext_challenge()
     num_folds = config.fri_num_folds(n0)
     _req(len(proof.fri.layer_caps) == num_folds, "bad FRI layer count")
@@ -81,9 +80,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
         betas.append(ch.get_ext_challenge())
     final_len = (n0 >> num_folds) // blowup
     _req(proof.fri.final_coeffs.shape[0] == final_len, "bad final poly length")
-    for c in proof.fri.final_coeffs:
-        ch.observe(int(c[0]))
-        ch.observe(int(c[1]))
+    ch.observe_array(proof.fri.final_coeffs)
     pow_challenge = ch.get_challenge()
     _req(check_pow(pow_challenge, proof.fri.pow_nonce, config.pow_bits), "bad grinding witness")
     ch.observe(proof.fri.pow_nonce)

@@ -253,3 +253,81 @@ class Fp2MulByBGadget:
         r1 = self.addg.fill(trace, row, t0, t1)
         assert (r0, r1) == bls.fp2_multiply_by_b(a)
         return (r0, r1)
+
+
+class FpSmallScalarGadget:
+    """Single-row x * c mod p for a small public constant c (c*p < 2^384):
+    MulSingle with bound multiplier + SingleReduce. Used for the *2 / *3
+    steps of the pairing-precomp doubling formulas (native.rs:293-326)."""
+
+    def __init__(self, cb: ChipBuilder, rows, c: int):
+        assert 0 < c < (1 << 32)
+        self.c = c
+        self.mul = MulSingleGadget(cb, rows)
+        cb.bind_const(rows, self.mul.y, [c])
+        self.red = SingleReduceGadget(cb, rows)
+        self.red.wire_input(self.mul.res)
+        self.x, self.rem = self.mul.x, self.red.rem
+
+    def fill(self, trace, row, x_int: int) -> int:
+        self.mul.fill(trace, row, limbs.to_limbs(x_int), self.c)
+        return self.red.fill(trace, row, x_int * self.c)
+
+
+class Fp2SmallScalarGadget:
+    """Component-wise small-constant scalar multiple of an Fp2 value."""
+
+    def __init__(self, cb: ChipBuilder, rows, c: int):
+        self.g0 = FpSmallScalarGadget(cb, rows, c)
+        self.g1 = FpSmallScalarGadget(cb, rows, c)
+        self.a0, self.a1 = self.g0.x, self.g1.x
+        self.c0, self.c1 = self.g0.rem, self.g1.rem
+
+    def fill(self, trace, row, a):
+        return (self.g0.fill(trace, row, a[0]), self.g1.fill(trace, row, a[1]))
+
+
+class Fp2ConstMulGadget:
+    """Full Fp2 multiplication by a PUBLIC Fp2 constant (b bound via
+    bind_const): used for Frobenius coefficient multiplications
+    (native.rs:1050-1222) and the 1/2 scalar of the doubling step."""
+
+    def __init__(self, cb: ChipBuilder, row0s, b=None):
+        self.mul = Fp2MulGadget(cb, row0s)
+        if b is not None:
+            r0 = _rows_of(list(row0s), 0)
+            cb.bind_const(r0, self.mul.b0, limbs.to_limbs(b[0]))
+            cb.bind_const(r0, self.mul.b1, limbs.to_limbs(b[1]))
+        self.b = b
+        self.a0, self.a1 = self.mul.a0, self.mul.a1
+        self.c0, self.c1 = self.mul.c0, self.mul.c1
+
+    def fill(self, trace, row0, a, b=None):
+        return self.mul.fill(trace, row0, a, b if b is not None else self.b)
+
+
+class FpConstMulGadget:
+    """12-row x * k mod p for a PUBLIC full-width constant k (e.g. 1/2):
+    FpMulReduce with the y register bound to k."""
+
+    def __init__(self, cb: ChipBuilder, row0s, k: int):
+        self.k = k
+        self.mulred = FpMulReduceGadget(cb, row0s)
+        cb.bind_const(_rows_of(list(row0s), 0), self.mulred.y, limbs.to_limbs(k))
+        self.x, self.rem = self.mulred.x, self.mulred.rem
+
+    def fill(self, trace, row0, x_int: int) -> int:
+        return self.mulred.fill(trace, row0, x_int, self.k)
+
+
+class Fp2ConstFpMulGadget:
+    """Component-wise multiplication of an Fp2 by a public Fp constant."""
+
+    def __init__(self, cb: ChipBuilder, row0s, k: int):
+        self.g0 = FpConstMulGadget(cb, row0s, k)
+        self.g1 = FpConstMulGadget(cb, row0s, k)
+        self.a0, self.a1 = self.g0.x, self.g1.x
+        self.c0, self.c1 = self.g0.rem, self.g1.rem
+
+    def fill(self, trace, row0, a):
+        return (self.g0.fill(trace, row0, a[0]), self.g1.fill(trace, row0, a[1]))
