@@ -12,8 +12,19 @@ Everything that touches device arrays uses uint64, so x64 mode must be
 enabled before any JAX computation — importing this package does it.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: compiling over the axon remote-compile
+# tunnel costs minutes per stage; cached executables cut re-runs to seconds.
+_cache_dir = os.environ.get(
+    "STARKY_JAX_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"

@@ -1,0 +1,232 @@
+"""Aggregate BLS signature-verification pipeline: the 7-stark orchestrator.
+
+Capability-parity with the reference's `aggregate_proof.rs:224-400`
+(SURVEY.md §3.1): given NUM_POINTS sync-committee pubkeys, participation
+bits, the signing message and the aggregate signature, produce
+
+  1. ECCAggregate        — apk = sum of selected pubkeys
+  2. PairingPrecomp(Hm)  — line coefficients for Hm = hash_to_curve(msg)
+  3. MillerLoop(-apk,Hm)
+  4. PairingPrecomp(sig)
+  5. MillerLoop(G, sig)
+  6. FP12Mul(ml1, ml2)
+  7. FinalExponentiate   — result must be one
+
+plus the cross-proof public-input consistency links that the reference
+wires inside its aggregation SNARK (`aggregate_proof.rs:510-599`). This
+round performs those links natively in `aggregate_verify` (SURVEY.md §7.6
+stage (a)); the recursive wrapping layer is the next build stage.
+
+Hm is computed natively by BOTH prover and verifier (hash_to_curve.py), so
+the links bind every stark to the same message end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+from .backend.config import StarkConfig
+from .backend.prover import StarkProver
+from .backend.verifier import VerificationError, verify
+from .chips import limbs
+from .fields import bls12_381 as bls
+from .fields import hash_to_curve as h2c
+from .starks.ecc_aggregate import ECCAggregateAir
+from .starks.final_exponentiate import FinalExponentiateAir
+from .starks.fp12_mul import FP12MulAir, fp12_to_pis
+from .starks.miller_loop import MillerLoopAir
+from .starks.pairing_precomp import PairingPrecompAir
+
+STAGES = ["ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+
+
+@dataclass
+class AggregateBundle:
+    """All seven proofs with their public inputs."""
+
+    proofs: Dict[str, object]
+    publics: Dict[str, List[int]]
+    num_points: int
+
+
+class AggregatePipeline:
+    """Builds the five airs once; proves / verifies signature bundles."""
+
+    def __init__(self, num_points: int = 512, config: StarkConfig | None = None, xp=None):
+        self.num_points = num_points
+        self.config = config or StarkConfig()
+        self.xp = xp
+        self.airs = {
+            "ecc": ECCAggregateAir(num_points=num_points),
+            "pp": PairingPrecompAir(),
+            "ml": MillerLoopAir(),
+            "fp12mul": FP12MulAir(),
+            "finalexp": FinalExponentiateAir(),
+        }
+        self._provers: Dict[str, StarkProver] = {}
+
+    def _air_for(self, stage: str):
+        return self.airs[
+            {"ecc": "ecc", "pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml",
+             "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
+        ]
+
+    def _prove(self, stage: str, trace, pis):
+        air = self._air_for(stage)
+        key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
+        if key not in self._provers:
+            self._provers[key] = StarkProver(air, self.config, xp=self.xp)
+        return self._provers[key].prove(trace, pis)
+
+    # -- witness computation (native, aggregate_proof.rs:247-379) --------
+    def build_traces(self, pubkeys, bits, message: bytes, signature):
+        """Returns ({stage: (trace, pis)}, summary dict of native values)."""
+        apk = bls.g1_aggregate(pubkeys, bits)
+        hm = h2c.hash_to_curve_g2(message)
+        hm3 = (hm[0], hm[1], bls.FP2_ONE)
+        sig3 = (signature[0], signature[1], bls.FP2_ONE)
+        neg_apk = (apk[0], (-apk[1]) % bls.P381)
+        coeffs1 = bls.calc_pairing_precomp(*hm3)
+        coeffs2 = bls.calc_pairing_precomp(*sig3)
+        ml1 = bls.miller_loop(neg_apk[0], neg_apk[1], *hm3)
+        ml2 = bls.miller_loop(*bls.G1_GEN, *sig3)
+        mu = bls.fp12_mul(ml1, ml2)
+        fe = bls.fp12_final_exponentiate(mu)
+        traces = {
+            "ecc": self.airs["ecc"].generate_trace(pubkeys, bits),
+            "pp1": self.airs["pp"].generate_trace(*hm3),
+            "ml1": self.airs["ml"].generate_trace(neg_apk[0], neg_apk[1], coeffs1),
+            "pp2": self.airs["pp"].generate_trace(*sig3),
+            "ml2": self.airs["ml"].generate_trace(*bls.G1_GEN, coeffs2),
+            "fp12mul": self.airs["fp12mul"].generate_trace(ml1, ml2),
+            "finalexp": self.airs["finalexp"].generate_trace(mu),
+        }
+        summary = {"apk": apk, "hm": hm, "mu_is_one": fe == bls.FP12_ONE}
+        return traces, summary
+
+    def prove_aggregate(self, pubkeys, bits, message: bytes, signature) -> AggregateBundle:
+        traces, summary = self.build_traces(pubkeys, bits, message, signature)
+        if not summary["mu_is_one"]:
+            raise ValueError("signature does not verify natively; refusing to prove")
+        proofs, publics = {}, {}
+        for stage in STAGES:
+            trace, pis = traces[stage]
+            proofs[stage] = self._prove(stage, trace, pis)
+            publics[stage] = pis
+        return AggregateBundle(proofs=proofs, publics=publics, num_points=self.num_points)
+
+    # -- verification ----------------------------------------------------
+    def verify_aggregate(self, bundle: AggregateBundle, pubkeys, bits, message: bytes, signature):
+        """Verifies the 7 proofs and the cross-proof public-input links
+        (native equivalents of aggregate_proof.rs:510-599)."""
+        for stage in STAGES:
+            verify(self._air_for(stage), bundle.proofs[stage], bundle.publics[stage], self.config)
+        check_aggregate_links(
+            self.airs, bundle.publics, pubkeys, bits, message, signature, self.num_points
+        )
+
+
+def _limbs(v: int) -> List[int]:
+    return [int(x) for x in limbs.to_limbs(v)]
+
+
+def _fp2_limbs(v) -> List[int]:
+    return _limbs(v[0]) + _limbs(v[1])
+
+
+def native_publics(pubkeys, bits, message: bytes, signature):
+    """The seven public-input vectors computed natively (no traces) — used
+    by tests and by verifiers that recompute expected PIs themselves."""
+    apk = bls.g1_aggregate(pubkeys, bits)
+    hm = h2c.hash_to_curve_g2(message)
+    hm3 = (hm[0], hm[1], bls.FP2_ONE)
+    sig3 = (signature[0], signature[1], bls.FP2_ONE)
+    neg_apk = (apk[0], (-apk[1]) % bls.P381)
+    coeffs1 = bls.calc_pairing_precomp(*hm3)
+    coeffs2 = bls.calc_pairing_precomp(*sig3)
+    ml1 = bls.miller_loop(neg_apk[0], neg_apk[1], *hm3)
+    ml2 = bls.miller_loop(*bls.G1_GEN, *sig3)
+    mu = bls.fp12_mul(ml1, ml2)
+    fe = bls.fp12_final_exponentiate(mu)
+
+    def coeff_limbs(coeffs):
+        out = []
+        for triple in coeffs:
+            for c in triple:
+                out.extend(_fp2_limbs(c))
+        return out
+
+    ecc = []
+    for p in pubkeys:
+        ecc.extend(_limbs(p[0]) + _limbs(p[1]))
+    ecc += [int(b) for b in bits] + _limbs(apk[0]) + _limbs(apk[1])
+    pp1 = _fp2_limbs(hm3[0]) + _fp2_limbs(hm3[1]) + _fp2_limbs(hm3[2]) + coeff_limbs(coeffs1)
+    pp2 = _fp2_limbs(sig3[0]) + _fp2_limbs(sig3[1]) + _fp2_limbs(sig3[2]) + coeff_limbs(coeffs2)
+    ml1_pis = _limbs(neg_apk[0]) + _limbs(neg_apk[1]) + coeff_limbs(coeffs1) + fp12_to_pis(ml1)
+    ml2_pis = _limbs(bls.G1_GEN[0]) + _limbs(bls.G1_GEN[1]) + coeff_limbs(coeffs2) + fp12_to_pis(ml2)
+    mul_pis = fp12_to_pis(ml1) + fp12_to_pis(ml2) + fp12_to_pis(mu)
+    fe_pis = fp12_to_pis(mu) + fp12_to_pis(fe)
+    return {
+        "ecc": ecc, "pp1": pp1, "ml1": ml1_pis, "pp2": pp2, "ml2": ml2_pis,
+        "fp12mul": mul_pis, "finalexp": fe_pis,
+    }
+
+
+def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_points):
+    """Cross-proof and statement-level consistency checks."""
+    ecc_air, pp_air = airs["ecc"], airs["pp"]
+    ml_air, mul_air, fe_air = airs["ml"], airs["fp12mul"], airs["finalexp"]
+    ecc, pp1, ml1 = publics["ecc"], publics["pp1"], publics["ml1"]
+    pp2, ml2 = publics["pp2"], publics["ml2"]
+    mul_pis, fe = publics["fp12mul"], publics["finalexp"]
+
+    def req(cond, msg):
+        if not cond:
+            raise VerificationError(f"aggregate link failed: {msg}")
+
+    # statement binding: points and bits match the claimed committee
+    exp_pts = []
+    for p in pubkeys:
+        exp_pts.extend(_limbs(p[0]) + _limbs(p[1]))
+    req(ecc[: num_points * 24] == exp_pts, "ECC points != pubkeys")
+    req(ecc[ecc_air.PIS_BITS : ecc_air.PIS_BITS + num_points] == [int(b) for b in bits],
+        "ECC bits mismatch")
+    apk_x = ecc[ecc_air.PIS_RES : ecc_air.PIS_RES + 12]
+    apk_y = ecc[ecc_air.PIS_RES + 12 : ecc_air.PIS_RES + 24]
+
+    # Hm recomputed natively from the message (reference: in-circuit h2c)
+    hm = h2c.hash_to_curve_g2(message)
+    req(pp1[:24] == _limbs(hm[0][0]) + _limbs(hm[0][1]), "PP1 x != Hm.x")
+    req(pp1[24:48] == _limbs(hm[1][0]) + _limbs(hm[1][1]), "PP1 y != Hm.y")
+    req(pp1[48:72] == _limbs(1) + _limbs(0), "PP1 z != 1")
+    # signature binding
+    req(pp2[:24] == _limbs(signature[0][0]) + _limbs(signature[0][1]), "PP2 x != sig.x")
+    req(pp2[24:48] == _limbs(signature[1][0]) + _limbs(signature[1][1]), "PP2 y != sig.y")
+    req(pp2[48:72] == _limbs(1) + _limbs(0), "PP2 z != 1")
+
+    # PP coeffs == ML coeffs (aggregate_proof.rs:523-525)
+    req(pp1[pp_air.PIS_ELL :] == ml1[ml_air.PIS_ELL : ml_air.PIS_RES], "PP1 coeffs != ML1 coeffs")
+    req(pp2[pp_air.PIS_ELL :] == ml2[ml_air.PIS_ELL : ml_air.PIS_RES], "PP2 coeffs != ML2 coeffs")
+
+    # EC result -> ML1 P = -apk (aggregate_proof.rs:539-544)
+    req(ml1[:12] == apk_x, "ML1 Px != apk.x")
+    neg_y = (bls.P381 - limbs.from_limbs(apk_y)) % bls.P381
+    req(ml1[12:24] == _limbs(neg_y), "ML1 Py != -apk.y")
+    # ML2 P pinned to the G1 generator (aggregate_proof.rs:577-582)
+    req(ml2[:12] == _limbs(bls.G1_GEN[0]), "ML2 Px != G.x")
+    req(ml2[12:24] == _limbs(bls.G1_GEN[1]), "ML2 Py != G.y")
+
+    # ML results -> FP12Mul inputs (aggregate_proof.rs:546-548, 584-586)
+    req(mul_pis[mul_air.PIS_X : mul_air.PIS_X + 144] == ml1[ml_air.PIS_RES :],
+        "FP12Mul X != ML1 result")
+    req(mul_pis[mul_air.PIS_Y : mul_air.PIS_Y + 144] == ml2[ml_air.PIS_RES :],
+        "FP12Mul Y != ML2 result")
+    # FP12Mul output -> FinalExp input (aggregate_proof.rs:588-590)
+    req(fe[fe_air.PIS_IN : fe_air.PIS_IN + 144] == mul_pis[mul_air.PIS_OUT :],
+        "FinalExp input != FP12Mul output")
+    # FinalExp output == 1 (aggregate_proof.rs:592-599)
+    req(fe[fe_air.PIS_OUT : fe_air.PIS_OUT + 144] == fp12_to_pis(bls.FP12_ONE),
+        "FinalExp output != 1")

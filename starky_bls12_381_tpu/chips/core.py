@@ -52,6 +52,26 @@ class ChipBuilder:
     def register(self, key, inst):
         self.registry.setdefault(key, []).append(inst)
 
+    # -- column overlays -------------------------------------------------
+    # Gadget families whose active rows are disjoint may share column space
+    # (the reference does this with its FINAL_EXP_OP_OFFSET shared op region
+    # and the BIT0/BIT1 overlay of calc_pairing_precomp.rs:46). Allocation
+    # between begin_overlay()/next_variant()/end_overlay() reuses the same
+    # base; end_overlay() advances the allocator past the widest variant.
+
+    def begin_overlay(self):
+        self._overlay_base = self.wit.n
+        self._overlay_max = self.wit.n
+
+    def next_variant(self):
+        self._overlay_max = max(self._overlay_max, self.wit.n)
+        self.wit.n = self._overlay_base
+
+    def end_overlay(self):
+        self._overlay_max = max(self._overlay_max, self.wit.n)
+        self.wit.n = self._overlay_max
+        del self._overlay_base, self._overlay_max
+
     def eval_all(self, ctx):
         """Emit every registered gadget type's batched constraints plus all
         wiring/binding constraints. Iteration order is insertion order, so

@@ -1,0 +1,290 @@
+"""Hash-to-curve for BLS12-381 G2 (native witness computation).
+
+Re-creates the capability of the reference's `hash_to_field.rs` /
+`hash_to_curve.rs` (which implement it in-circuit for the aggregation
+SNARK; SURVEY.md §2.1): expand_message_xmd with SHA-256 under the BLS
+proof-of-possession DST, hash_to_field (count=2, degree 2, L=64),
+simplified SWU for the 3-isogeny curve E2', the 3-isogeny map (coefficient
+table = data from hash_to_curve.rs:9-82), and cofactor clearing by the
+effective cofactor (derived numerically from the twist order rather than a
+hand-copied constant). Follows RFC 9380 (BLS12381G2_XMD:SHA-256_SSWU_RO_).
+
+The aggregation pipeline uses this to compute Hm natively
+(aggregate_proof.rs:290 does the same via milagro).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from . import bls12_381 as bls
+from .bls12_381 import FP2_ONE, FP2_ZERO, P381, fp2_add, fp2_inv, fp2_mul, fp2_neg, fp2_sub
+
+DST = b"BLS_SIG_BLS12381G2_XMD:SHA-256_SSWU_RO_POP_"
+L = 64
+# BLS subgroup order
+R_ORDER = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+# SSWU parameters for E2': y^2 = x^3 + A'x + B' with
+# A' = 240*I, B' = 1012*(1+I), Z = -(2+I)  (RFC 9380 §8.8.2)
+SSWU_A = (0, 240)
+SSWU_B = (1012, 1012)
+SSWU_Z = (P381 - 2, P381 - 1)
+
+# 3-isogeny map coefficients E2' -> E2 (data: hash_to_curve.rs:9-82 /
+# RFC 9380 Appendix E.3)
+ISO_XNUM = [
+    (0x5C759507E8E333EBB5B7A9A47D7ED8532C52D39FD3A042A88B58423C50AE15D5C2638E343D9C71C6238AAAAAAAA97D6,
+     0x5C759507E8E333EBB5B7A9A47D7ED8532C52D39FD3A042A88B58423C50AE15D5C2638E343D9C71C6238AAAAAAAA97D6),
+    (0,
+     0x11560BF17BAA99BC32126FCED787C88F984F87ADF7AE0C7F9A208C6B4F20A4181472AAA9CB8D555526A9FFFFFFFFC71A),
+    (0x11560BF17BAA99BC32126FCED787C88F984F87ADF7AE0C7F9A208C6B4F20A4181472AAA9CB8D555526A9FFFFFFFFC71E,
+     0x8AB05F8BDD54CDE190937E76BC3E447CC27C3D6FBD7063FCD104635A790520C0A395554E5C6AAAA9354FFFFFFFFE38D),
+    (0x171D6541FA38CCFAED6DEA691F5FB614CB14B4E7F4E810AA22D6108F142B85757098E38D0F671C7188E2AAAAAAAA5ED1,
+     0),
+]
+ISO_XDEN = [
+    (0,
+     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAA63),
+    (0xC,
+     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAA9F),
+    FP2_ONE,
+]
+ISO_YNUM = [
+    (0x1530477C7AB4113B59A4C18B076D11930F7DA5D4A07F649BF54439D87D27E500FC8C25EBF8C92F6812CFC71C71C6D706,
+     0x1530477C7AB4113B59A4C18B076D11930F7DA5D4A07F649BF54439D87D27E500FC8C25EBF8C92F6812CFC71C71C6D706),
+    (0,
+     0x5C759507E8E333EBB5B7A9A47D7ED8532C52D39FD3A042A88B58423C50AE15D5C2638E343D9C71C6238AAAAAAAA97BE),
+    (0x11560BF17BAA99BC32126FCED787C88F984F87ADF7AE0C7F9A208C6B4F20A4181472AAA9CB8D555526A9FFFFFFFFC71C,
+     0x8AB05F8BDD54CDE190937E76BC3E447CC27C3D6FBD7063FCD104635A790520C0A395554E5C6AAAA9354FFFFFFFFE38F),
+    (0x124C9AD43B6CF79BFBF7043DE3811AD0761B0F37A1E26286B0E977C69AA274524E79097A56DC4BD9E1B371C71C718B10,
+     0),
+]
+ISO_YDEN = [
+    (0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFA8FB,
+     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFA8FB),
+    (0,
+     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFA9D3),
+    (0x12,
+     0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAA99),
+    FP2_ONE,
+]
+
+
+# ---------------------------------------------------------------------------
+# hash_to_field (hash_to_field.rs:11-203)
+# ---------------------------------------------------------------------------
+
+
+def expand_message_xmd(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:
+    b_in_bytes = 32
+    ell = -(-len_in_bytes // b_in_bytes)
+    assert ell <= 255
+    dst_prime = dst + bytes([len(dst)])
+    z_pad = bytes(64)  # sha256 block size
+    l_i_b_str = len_in_bytes.to_bytes(2, "big")
+    b0 = hashlib.sha256(z_pad + msg + l_i_b_str + b"\x00" + dst_prime).digest()
+    b1 = hashlib.sha256(b0 + b"\x01" + dst_prime).digest()
+    out = [b1]
+    for i in range(2, ell + 1):
+        prev = out[-1]
+        xored = bytes(a ^ b for a, b in zip(b0, prev))
+        out.append(hashlib.sha256(xored + bytes([i]) + dst_prime).digest())
+    return b"".join(out)[:len_in_bytes]
+
+
+def hash_to_field(msg: bytes, count: int = 2):
+    """count Fp2 elements from msg (degree m=2, L=64)."""
+    uniform = expand_message_xmd(msg, DST, count * 2 * L)
+    els = []
+    for i in range(count):
+        comps = []
+        for j in range(2):
+            off = L * (j + i * 2)
+            comps.append(int.from_bytes(uniform[off : off + L], "big") % P381)
+        els.append(tuple(comps))
+    return els
+
+
+# ---------------------------------------------------------------------------
+# simplified SWU + isogeny (hash_to_curve.rs:84-248)
+# ---------------------------------------------------------------------------
+
+
+def fp2_sgn0(a) -> int:
+    """RFC 9380 sgn0 for Fp2."""
+    sign_0 = a[0] % 2
+    zero_0 = 1 if a[0] == 0 else 0
+    sign_1 = a[1] % 2
+    return sign_0 | (zero_0 & sign_1)
+
+
+def fp2_is_square(a) -> bool:
+    if a == FP2_ZERO:
+        return True
+    # norm = a0^2 + a1^2 must be a QR in Fp
+    norm = (a[0] * a[0] + a[1] * a[1]) % P381
+    return pow(norm, (P381 - 1) // 2, P381) in (0, 1)
+
+
+def fp2_sqrt(a):
+    """Square root in Fp2 (p ≡ 3 mod 4): candidate a^((p^2+7)/16) times
+    8th roots of unity / eta constants doesn't apply generally — use the
+    complex method: if a = x + yi, find c with c^2 = a via norms."""
+    if a == FP2_ZERO:
+        return FP2_ZERO
+    x, y = a
+    if y == 0:
+        # sqrt of an Fp element inside Fp2
+        if pow(x, (P381 - 1) // 2, P381) == 1:
+            r = pow(x, (P381 + 1) // 4, P381)
+            return (r, 0)
+        r = pow((-x) % P381, (P381 + 1) // 4, P381)
+        return (0, r)
+    norm = (x * x + y * y) % P381
+    n = pow(norm, (P381 + 1) // 4, P381)  # sqrt of the norm
+    assert n * n % P381 == norm, "input is not a square"
+    for sign in (1, -1):
+        alpha = (x + sign * n) * pow(2, P381 - 2, P381) % P381
+        if pow(alpha, (P381 - 1) // 2, P381) == 1:
+            c0 = pow(alpha, (P381 + 1) // 4, P381)
+            c1 = y * pow(2 * c0, P381 - 2, P381) % P381
+            cand = (c0, c1)
+            if fp2_mul(cand, cand) == a:
+                return cand
+    raise ValueError("not a square")
+
+
+def map_to_curve_sswu(u):
+    """Simplified SWU onto E2' (RFC 9380 §6.6.2)."""
+    z = SSWU_Z
+    u2 = fp2_mul(u, u)
+    zu2 = fp2_mul(z, u2)
+    zu4 = fp2_mul(zu2, zu2)
+    tv = fp2_add(zu4, zu2)  # Z^2 u^4 + Z u^2
+    if tv == FP2_ZERO:
+        x1 = fp2_mul(SSWU_B, fp2_inv(fp2_mul(z, SSWU_A)))
+    else:
+        num = fp2_mul(fp2_neg(SSWU_B), fp2_add(FP2_ONE, tv))
+        den = fp2_mul(SSWU_A, tv)
+        x1 = fp2_mul(num, fp2_inv(den))
+    gx1 = fp2_add(fp2_mul(fp2_mul(x1, x1), x1), fp2_add(fp2_mul(SSWU_A, x1), SSWU_B))
+    if fp2_is_square(gx1):
+        x, y = x1, fp2_sqrt(gx1)
+    else:
+        x2 = fp2_mul(zu2, x1)
+        gx2 = fp2_add(fp2_mul(fp2_mul(x2, x2), x2), fp2_add(fp2_mul(SSWU_A, x2), SSWU_B))
+        x, y = x2, fp2_sqrt(gx2)
+    if fp2_sgn0(u) != fp2_sgn0(y):
+        y = fp2_neg(y)
+    return (x, y)
+
+
+def _horner(coeffs, x):
+    acc = FP2_ZERO
+    for c in reversed(coeffs):
+        acc = fp2_add(fp2_mul(acc, x), c)
+    return acc
+
+
+def iso_map(p):
+    """3-isogeny E2' -> E2 (hash_to_curve.rs:203-248)."""
+    x, y = p
+    xn = _horner(ISO_XNUM, x)
+    xd = _horner(ISO_XDEN, x)
+    yn = _horner(ISO_YNUM, x)
+    yd = _horner(ISO_YDEN, x)
+    xo = fp2_mul(xn, fp2_inv(xd))
+    yo = fp2_mul(y, fp2_mul(yn, fp2_inv(yd)))
+    return (xo, yo)
+
+
+# ---------------------------------------------------------------------------
+# G2 group ops (affine, complete enough for scalar mul) + cofactor
+# ---------------------------------------------------------------------------
+
+
+def g2_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    (x1, y1), (x2, y2) = p, q
+    if x1 == x2:
+        if y1 == y2:
+            return g2_double(p)
+        return None
+    lam = fp2_mul(fp2_sub(y2, y1), fp2_inv(fp2_sub(x2, x1)))
+    x3 = fp2_sub(fp2_sub(fp2_mul(lam, lam), x1), x2)
+    y3 = fp2_sub(fp2_mul(lam, fp2_sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def g2_double(p):
+    if p is None:
+        return None
+    (x1, y1) = p
+    if y1 == FP2_ZERO:
+        return None
+    lam = fp2_mul(bls.fp2_mul_fp(fp2_mul(x1, x1), 3), fp2_inv(bls.fp2_mul_fp(y1, 2)))
+    x3 = fp2_sub(fp2_mul(lam, lam), bls.fp2_mul_fp(x1, 2))
+    y3 = fp2_sub(fp2_mul(lam, fp2_sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def g2_scalar_mul(p, k: int):
+    acc = None
+    add = p
+    while k:
+        if k & 1:
+            acc = g2_add(acc, add)
+        add = g2_double(add)
+        k >>= 1
+    return acc
+
+
+def _twist_order() -> int:
+    """#E2(Fp2) (the sextic-twist curve where G2 lives), derived from the
+    curve trace and verified numerically against a probe point — avoids
+    hand-copying the effective-cofactor constant."""
+    t = -bls.BLS_X + 1  # trace of Frobenius of E/Fp (the BLS x is negative)
+    p = P381
+    t2 = t * t - 2 * p  # trace over Fp2
+    f2_sq = (4 * p * p - t2 * t2) // 3
+    f2 = _isqrt(f2_sq)
+    assert f2 * f2 == f2_sq
+    candidates = [
+        p * p + 1 - (t2 + 3 * f2) // 2,
+        p * p + 1 - (t2 - 3 * f2) // 2,
+        p * p + 1 - (-t2 + 3 * f2) // 2,
+        p * p + 1 - (-t2 - 3 * f2) // 2,
+    ]
+    probe = iso_map(map_to_curve_sswu((5, 7)))
+    for n in candidates:
+        if n % R_ORDER == 0 and g2_scalar_mul(probe, n) is None:
+            return n
+    raise RuntimeError("twist order derivation failed")
+
+
+_H_EFF = None
+
+
+def _isqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(n)
+
+
+def clear_cofactor(p):
+    global _H_EFF
+    if _H_EFF is None:
+        _H_EFF = _twist_order() // R_ORDER
+    return g2_scalar_mul(p, _H_EFF)
+
+
+def hash_to_curve_g2(msg: bytes):
+    """Full RFC 9380 hash-to-curve: returns an affine G2 point (x, y)."""
+    u0, u1 = hash_to_field(msg, 2)
+    q0 = iso_map(map_to_curve_sswu(u0))
+    q1 = iso_map(map_to_curve_sswu(u1))
+    return clear_cofactor(g2_add(q0, q1))

@@ -1,0 +1,112 @@
+"""Aggregate pipeline tests: native link checks fast; trace/prove slow."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from starky_bls12_381_tpu.aggregate import (
+    AggregatePipeline,
+    check_aggregate_links,
+    native_publics,
+)
+from starky_bls12_381_tpu.backend.verifier import VerificationError
+from starky_bls12_381_tpu.fields import bls12_381 as bls
+from starky_bls12_381_tpu.fields import hash_to_curve as h2c
+from starky_bls12_381_tpu.starks.ecc_aggregate import ECCAggregateAir
+from starky_bls12_381_tpu.starks.final_exponentiate import FinalExponentiateAir
+from starky_bls12_381_tpu.starks.fp12_mul import FP12MulAir
+from starky_bls12_381_tpu.starks.miller_loop import MillerLoopAir
+from starky_bls12_381_tpu.starks.pairing_precomp import PairingPrecompAir
+
+slow = pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="RUN_SLOW not set")
+
+N = 8
+
+
+def _g1_mul(p, k):
+    acc, add = None, p
+    while k:
+        if k & 1:
+            acc = add if acc is None else (bls.g1_double(acc) if acc == add else bls.g1_add(acc, add))
+        add = bls.g1_double(add)
+        k >>= 1
+    return acc
+
+
+@pytest.fixture(scope="module")
+def committee():
+    rng = random.Random(11)
+    sks = [rng.randrange(1, h2c.R_ORDER) for _ in range(N)]
+    pubkeys = [_g1_mul(bls.G1_GEN, sk) for sk in sks]
+    bits = [1, 1, 0, 1, 1, 1, 0, 1]
+    message = b"aggregate pipeline test msg"
+    hm = h2c.hash_to_curve_g2(message)
+    agg_sk = sum(sk for sk, b in zip(sks, bits) if b) % h2c.R_ORDER
+    signature = h2c.g2_scalar_mul(hm, agg_sk)
+    return pubkeys, bits, message, signature
+
+
+@pytest.fixture(scope="module")
+def airs():
+    return {
+        "ecc": ECCAggregateAir(num_points=N),
+        "pp": PairingPrecompAir(),
+        "ml": MillerLoopAir(),
+        "fp12mul": FP12MulAir(),
+        "finalexp": FinalExponentiateAir(),
+    }
+
+
+def test_native_links_pass(committee, airs):
+    pubkeys, bits, message, signature = committee
+    publics = native_publics(pubkeys, bits, message, signature)
+    check_aggregate_links(airs, publics, pubkeys, bits, message, signature, N)
+    # final exp of a valid signature is one (the last link asserts it)
+
+
+def test_links_reject_wrong_message(committee, airs):
+    pubkeys, bits, message, signature = committee
+    publics = native_publics(pubkeys, bits, message, signature)
+    with pytest.raises(VerificationError):
+        check_aggregate_links(airs, publics, pubkeys, bits, b"other msg", signature, N)
+
+
+def test_links_reject_tampered_result(committee, airs):
+    pubkeys, bits, message, signature = committee
+    publics = native_publics(pubkeys, bits, message, signature)
+    bad = dict(publics)
+    bad["fp12mul"] = list(publics["fp12mul"])
+    bad["fp12mul"][300] ^= 1
+    with pytest.raises(VerificationError):
+        check_aggregate_links(airs, bad, pubkeys, bits, message, signature, N)
+
+
+def test_links_reject_wrong_bits(committee, airs):
+    pubkeys, bits, message, signature = committee
+    publics = native_publics(pubkeys, bits, message, signature)
+    flipped = list(bits)
+    flipped[0] ^= 1
+    with pytest.raises(VerificationError):
+        check_aggregate_links(airs, publics, pubkeys, flipped, message, signature, N)
+
+
+def test_invalid_signature_rejected_at_prove(committee):
+    pubkeys, bits, message, signature = committee
+    bad_sig = ((signature[0][0] + 1, signature[0][1]), signature[1])
+    pipeline = AggregatePipeline(num_points=N, xp=np)
+    with pytest.raises(Exception):
+        pipeline.prove_aggregate(pubkeys, bits, message, bad_sig)
+
+
+@slow
+def test_full_trace_residuals(committee):
+    from starky_bls12_381_tpu.chips.testing import assert_zero_residuals
+
+    pubkeys, bits, message, signature = committee
+    pipeline = AggregatePipeline(num_points=N, xp=np)
+    traces, summary = pipeline.build_traces(pubkeys, bits, message, signature)
+    assert summary["mu_is_one"]
+    for stage, (trace, pis) in traces.items():
+        assert_zero_residuals(pipeline._air_for(stage), trace, pis)
