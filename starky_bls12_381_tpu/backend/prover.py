@@ -342,17 +342,27 @@ class StarkProver:
 
     # -- main -----------------------------------------------------------
     def prove(self, trace: np.ndarray, pis) -> StarkProof:
+        import time
+
         xp = self.xp
         n, n0, num_cols = self.n, self.n0, self.num_cols
         config = self.config
         pis = [int(x) % gl.P for x in pis]
         assert trace.shape == (n, num_cols)
         assert len(pis) == self.air.num_pis
+        self.timings = {}
+        _t = [time.time()]
+
+        def mark(name):
+            now = time.time()
+            self.timings[name] = self.timings.get(name, 0.0) + now - _t[0]
+            _t[0] = now
 
         # 1. trace commitment
         trace_lde, trace_coeffs, trace_layers = self._commit_trace(self._dev(trace))
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
+        mark("commit_trace")
 
         ch = Challenger()
         ch.observe_array(np.asarray(pis, dtype=np.uint64))
@@ -374,6 +384,7 @@ class StarkProver:
         q_chunk_coeffs, q_lde, q_layers = self._commit_quotient(qv)
         q_layers_np = [np.asarray(l) for l in q_layers]
         q_cap = q_layers_np[-1]
+        mark("quotient+commit")
         ch.observe_cap(q_cap)
 
         zeta = ch.get_ext_challenge()
@@ -388,6 +399,7 @@ class StarkProver:
         ch.observe_array(np.concatenate([trace_local, trace_next, quotient_open], axis=0))
 
         gamma = ch.get_ext_challenge()
+        mark("openings")
 
         # 4. DEEP composition
         nq = quotient_open.shape[0]
@@ -400,6 +412,7 @@ class StarkProver:
             trace_lde, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g, self._dev(self.pts_np)
         )
 
+        mark("deep")
         # 5. FRI commit phase
         layer_caps = []
         layer_layers_np = []
@@ -424,11 +437,13 @@ class StarkProver:
         final_coeffs = np.stack([fc0[:final_len], fc1[:final_len]], axis=1)
         ch.observe_array(final_coeffs)
 
+        mark("fri_commit")
         # 6. grinding + queries
         pow_challenge = ch.get_challenge()
         nonce = self._find_pow(pow_challenge)
         ch.observe(nonce)
         indices = ch.get_indices(config.num_queries, n0)
+        mark("grinding")
 
         idx_dev = self._dev(np.asarray(indices, dtype=np.int64))
         trace_rows = np.asarray(trace_lde[idx_dev])
@@ -460,6 +475,7 @@ class StarkProver:
                 )
             )
 
+        mark("queries")
         return StarkProof(
             trace_cap=trace_cap,
             quotient_cap=q_cap,
