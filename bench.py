@@ -123,7 +123,7 @@ def main():
                 "metric": metric,
                 "value": round(warm, 3),
                 "unit": "s",
-                "vs_baseline": round(baseline / warm, 2),
+                "vs_baseline": round(baseline / warm, 3),
                 "cold_s": round(cold, 1),
                 "proof_bytes": proof.size_bytes(),
                 "columns": air.num_cols,

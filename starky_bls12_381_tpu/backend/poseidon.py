@@ -175,20 +175,26 @@ def hash_rows(rows):
     return state[:, :CAP]
 
 
-def hash_flat_tree(arr) -> tuple:
-    """Digest of a flat uint64 array via a batched Poseidon binary tree:
-    leaves = rate-sized chunks (zero-padded), then pairwise compression.
-    Used by the challenger to absorb wide vectors (openings, PIs) in a few
-    BATCHED permutations instead of len/8 sequential ones."""
-    a = np.asarray(arr, dtype=np.uint64).reshape(-1)
+def hash_flat_tree_arr(arr):
+    """Digest of a flat uint64 array (numpy or device) via a batched
+    Poseidon binary tree: leaves = rate-sized chunks (zero-padded), then
+    pairwise compression. Returns a (4,) array on the input's backend."""
+    xp = gl._xp(arr)
+    a = arr.reshape(-1)
     k = max(1, -(-a.size // RATE))
     k_pad = 1 << (k - 1).bit_length()
-    buf = np.zeros(k_pad * RATE, dtype=np.uint64)
-    buf[: a.size] = a
-    digs = hash_rows(buf.reshape(k_pad, RATE))
+    pad = k_pad * RATE - a.size
+    if pad:
+        a = xp.concatenate([a, xp.zeros(pad, dtype=xp.uint64)])
+    digs = hash_rows(a.reshape(k_pad, RATE))
     while digs.shape[0] > 1:
         digs = compress_rows(digs[0::2], digs[1::2])
-    return tuple(int(x) for x in digs[0])
+    return digs[0]
+
+
+def hash_flat_tree(arr) -> tuple:
+    """Host tuple form of hash_flat_tree_arr (challenger absorption)."""
+    return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(np.asarray(arr, dtype=np.uint64))))
 
 
 def compress_rows(left, right):

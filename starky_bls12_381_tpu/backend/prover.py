@@ -320,6 +320,18 @@ class StarkProver:
         b = np.asarray(beta, dtype=np.uint64)
         return self._stage(f"fri_fold_{layer}", f)(values[0], values[1], self._dev(b), self._dev(x_invs))
 
+    def _observe_array_dev(self, ch, arr: np.ndarray):
+        """observe_array with the tree digest computed in a jitted device
+        stage (numpy backend falls through to the host path). Identical
+        digest to Challenger.observe_array — the verifier uses that path."""
+        if self.xp is np:
+            ch.observe_array(arr)
+            return
+        stage = self._stage("flat_digest", lambda a: ps.hash_flat_tree_arr(a))
+        digest = np.asarray(stage(self._dev(np.asarray(arr, dtype=np.uint64))))
+        for v in digest:
+            ch.observe(int(v))
+
     def _find_pow(self, challenge: int) -> int:
         pow_bits = self.config.pow_bits
         chunk = 1 << min(max(pow_bits, 10), 16)
@@ -396,7 +408,7 @@ class StarkProver:
         trace_local = self._open_at(trace_coeffs, pows_z)
         trace_next = self._open_at(trace_coeffs, pows_zg)
         quotient_open = self._open_at(q_chunk_coeffs, pows_z)
-        ch.observe_array(np.concatenate([trace_local, trace_next, quotient_open], axis=0))
+        self._observe_array_dev(ch, np.concatenate([trace_local, trace_next, quotient_open], axis=0))
 
         gamma = ch.get_ext_challenge()
         mark("openings")
