@@ -23,10 +23,8 @@ the links bind every stark to the same message end-to-end.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
-
-import numpy as np
 
 from .backend.config import StarkConfig
 from .backend.prover import StarkProver

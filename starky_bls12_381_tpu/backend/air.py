@@ -24,7 +24,6 @@ reference needs (e.g. the 8192 row-selector columns of
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

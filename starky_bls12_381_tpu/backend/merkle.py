@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 
 from . import poseidon as ps
-from ..fields import goldilocks as gl
 
 
 def build_layers(leaf_digests, cap_height: int):

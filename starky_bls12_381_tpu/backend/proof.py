@@ -7,7 +7,7 @@ polynomial + query rounds + grinding witness); SURVEY.md §2.2.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List
 
 import numpy as np

@@ -21,12 +21,10 @@ pinned across the 12-row window):
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..fields import bls12_381 as bls
 from ..fields.bls12_381 import P381
 from . import limbs
-from .core import ChipBuilder, put, put_rows
+from .core import ChipBuilder
 from .fp import (
     AddNGadget,
     FpMulGadget,

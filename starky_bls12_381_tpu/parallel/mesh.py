@@ -35,7 +35,7 @@ def shard_commit_step(mesh, trace, weights, rate_bits: int = 1, cap_height: int 
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     n, c = trace.shape
     n_dev = len(mesh.devices.reshape(-1))

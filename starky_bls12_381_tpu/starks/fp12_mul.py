@@ -16,7 +16,6 @@ from ..backend.air import Air
 from ..chips import limbs
 from ..chips.core import ChipBuilder
 from ..chips.fp12 import Fp12MulGadget
-from ..fields import bls12_381 as bls
 
 NUM_ROWS = 16
 

@@ -31,7 +31,7 @@ from ..chips.fp2 import Fp2FpMulGadget
 from ..chips.fp6 import Fp6NegGadget, wire_fp2, wire_fp6
 from ..chips.fp12 import Fp12MulGadget, Fp12MultiplyBy014Gadget
 from ..fields import bls12_381 as bls
-from .fp12_mul import fp12_iter, fp12_ref_cols, fp12_to_pis
+from .fp12_mul import fp12_ref_cols, fp12_to_pis
 
 NUM_BLOCKS = 68  # 63 doubling steps + 5 addition steps (SURVEY.md §2.1)
 
