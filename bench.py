@@ -96,6 +96,48 @@ def bench_ecc():
     return air, trace, pis, "ecc_aggregate_prove_s", 3.0
 
 
+def bench_final_exponentiate():
+    from starky_bls12_381_tpu.fields import bls12_381 as bls
+    from starky_bls12_381_tpu.starks.final_exponentiate import FinalExponentiateAir
+
+    air = FinalExponentiateAir()
+
+    def build():
+        pk_x = 2620359726099670991095913421423408052907220385587653382880494211997835858894431070728023161812841650498384724513574
+        pk_y = 3516737663249789719313994746945990853755171862112391852604784999536233979171013701039178918880615112139780777770781
+        hm = (
+            (2260803321181951703309420903406460477209912434020120381027413359130883713514969717876465885091628521232768207917010,
+             2651754974217764549573984422821173864573267897233450902768900290919635595830847280035238812354259899816422437732519),
+            (98328085801950751198634977711657076320088798571641012335466428770177401024922163125657710674003178075431656844523,
+             1156585784149709375944843577113354173925120574246839648967751052400396372157500751188298724114933365921247443786825),
+            (1, 0),
+        )
+        a = bls.miller_loop(pk_x, (-pk_y) % bls.P381, *hm)
+        return air.generate_trace(a)
+
+    trace, pis = _trace_cached("final_exp_v1", build)
+    return air, trace, pis, "final_exponentiate_prove_s", 92.0
+
+
+def bench_pairing_precomp():
+    from starky_bls12_381_tpu.starks.pairing_precomp import PairingPrecompAir
+
+    air = PairingPrecompAir()
+
+    def build():
+        hm = (
+            (2260803321181951703309420903406460477209912434020120381027413359130883713514969717876465885091628521232768207917010,
+             2651754974217764549573984422821173864573267897233450902768900290919635595830847280035238812354259899816422437732519),
+            (98328085801950751198634977711657076320088798571641012335466428770177401024922163125657710674003178075431656844523,
+             1156585784149709375944843577113354173925120574246839648967751052400396372157500751188298724114933365921247443786825),
+            (1, 0),
+        )
+        return air.generate_trace(*hm)
+
+    trace, pis = _trace_cached("pairing_precomp_v1", build)
+    return air, trace, pis, "pairing_precomp_prove_s", 4.5
+
+
 def main():
     from starky_bls12_381_tpu.backend.config import StarkConfig
     from starky_bls12_381_tpu.backend.prover import StarkProver
@@ -106,6 +148,8 @@ def main():
         "miller_loop": bench_miller_loop,
         "fp12_mul": bench_fp12_mul,
         "ecc": bench_ecc,
+        "finalexp": bench_final_exponentiate,
+        "pairing_precomp": bench_pairing_precomp,
     }[which]()
 
     config = StarkConfig(rate_bits=1, cap_height=4, num_queries=84, pow_bits=16)

@@ -46,8 +46,18 @@ def _req(cond, msg):
         raise VerificationError(msg)
 
 
-def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
+def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | None = None) -> None:
     """Raises VerificationError on any failure; returns None on success."""
+    import time as _time
+
+    _t = [_time.time()]
+
+    def _mark(name):
+        if timings is not None:
+            now = _time.time()
+            timings[name] = timings.get(name, 0.0) + now - _t[0]
+            _t[0] = now
+
     n = air.num_rows
     num_cols = air.num_cols
     blowup = config.blowup
@@ -86,6 +96,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
     ch.observe(proof.fri.pow_nonce)
     indices = ch.get_indices(config.num_queries, n0)
     _req([qr.index for qr in proof.fri.query_rounds] == indices, "query indices mismatch")
+    _mark("transcript")
 
     # ---- quotient identity at zeta ----------------------------------
     alg = ExtScalarAlgebra()
@@ -123,6 +134,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
             q_sum = gl.ext_add(q_sum, gl.ext_mul(zpow, q_k))
             zpow = gl.ext_mul(zpow, zn)
         _req(gl.ext_mul(q_sum, zh_zeta) == acc, f"quotient identity failed (challenge {ci})")
+    _mark("quotient_identity")
 
     # ---- DEEP / FRI queries -----------------------------------------
     j1 = num_cols + nq
@@ -157,6 +169,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
         for l, st in enumerate(qr.steps):
             step_rows.append(np.asarray([st.pair[0, 0], st.pair[0, 1], st.pair[1, 0], st.pair[1, 1]], dtype=np.uint64))
     step_digs = ps.hash_rows(np.stack(step_rows)) if step_rows else np.zeros((0, 4), np.uint64)
+    _mark("row_hashing")
 
     si = 0
     for qi, qr in enumerate(proof.fri.query_rounds):
@@ -203,6 +216,7 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig) -> None:
         # final polynomial evaluation at x_l = x^(2^folds)
         expect = fri.eval_final_poly(proof.fri.final_coeffs, (x_l, 0))
         _req(expect == value, f"final poly mismatch (query {qi})")
+    _mark("queries")
 
 
 def _ext_dot_base(weights: np.ndarray, values: np.ndarray):
