@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Keep the CPU backend registered alongside the TPU: the host-side verifier
+# jit-compiles its bulk hashing on CPU (the container pins
+# JAX_PLATFORMS=axon, which would otherwise hide the CPU backend). Respect
+# any explicit override already applied via jax.config (e.g. tests force
+# plain "cpu").
+if jax.config.jax_platforms == "axon":
+    jax.config.update("jax_platforms", "axon,cpu")
+
 # Persistent XLA compilation cache: compiling over the axon remote-compile
 # tunnel costs minutes per stage; cached executables cut re-runs to seconds.
 _cache_dir = os.environ.get(

@@ -193,8 +193,39 @@ def hash_flat_tree_arr(arr):
 
 
 def hash_flat_tree(arr) -> tuple:
-    """Host tuple form of hash_flat_tree_arr (challenger absorption)."""
-    return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(np.asarray(arr, dtype=np.uint64))))
+    """Host tuple form of hash_flat_tree_arr (challenger absorption).
+    Large inputs route through the jax-CPU jitted path."""
+    a = np.asarray(arr, dtype=np.uint64)
+    if a.size >= 1 << 14:
+        return tuple(int(x) for x in _host_fast(hash_flat_tree_arr, a))
+    return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(a)))
+
+
+_host_jits: dict = {}
+
+
+def _host_fast(fn, *arrays):
+    """Run `fn` jit-compiled on the CPU backend (the host verifier's fast
+    path for bulk hashing: a compiled lax.scan instead of millions of tiny
+    numpy dispatches). Falls back to plain numpy if no CPU backend."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return np.asarray(fn(*arrays))
+    key = fn.__name__
+    if key not in _host_jits:
+        _host_jits[key] = jax.jit(fn)
+    with jax.default_device(cpu):
+        return np.asarray(_host_jits[key](*arrays))
+
+
+def hash_rows_host_fast(rows: np.ndarray) -> np.ndarray:
+    """hash_rows for the host verifier via the jax-CPU jitted path."""
+    if rows.size < 1 << 14:
+        return hash_rows(rows)
+    return _host_fast(hash_rows, rows)
 
 
 def compress_rows(left, right):

@@ -213,7 +213,8 @@ class StarkProver:
 
     # -- stages ---------------------------------------------------------
     def _commit_trace(self, trace):
-        def f(tr):
+        def f(tr32):
+            tr = tr32.astype(self.xp.uint64)
             lde_, coeffs = ntt.lde(tr, self.config.rate_bits, SHIFT)
             layers = merkle.build_layers(ps.hash_rows(lde_), self.config.cap_height)
             return lde_, coeffs, layers
@@ -370,8 +371,13 @@ class StarkProver:
             self.timings[name] = self.timings.get(name, 0.0) + now - _t[0]
             _t[0] = now
 
-        # 1. trace commitment
-        trace_lde, trace_coeffs, trace_layers = self._commit_trace(self._dev(trace))
+        # 1. trace commitment — every chip trace cell is a u32 limb/carry/
+        # bit by construction, so the host->device transfer ships uint32
+        # (halves the dominant upload cost; widened on device)
+        assert int(trace.max(initial=0)) < (1 << 32), "trace cell exceeds u32"
+        trace_lde, trace_coeffs, trace_layers = self._commit_trace(
+            self._dev(trace.astype(np.uint32))
+        )
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
         mark("commit_trace")

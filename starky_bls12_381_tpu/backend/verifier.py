@@ -161,8 +161,8 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     # batch-hash all opened rows (numpy-vectorized Poseidon)
     trace_rows = np.stack([qr.trace_row for qr in proof.fri.query_rounds]).astype(np.uint64)
     q_rows = np.stack([qr.quotient_row for qr in proof.fri.query_rounds]).astype(np.uint64)
-    trace_leaf_digs = ps.hash_rows(trace_rows)
-    q_leaf_digs = ps.hash_rows(q_rows)
+    trace_leaf_digs = ps.hash_rows_host_fast(trace_rows)
+    q_leaf_digs = ps.hash_rows_host_fast(q_rows)
     step_rows = []
     for qr in proof.fri.query_rounds:
         pos = qr.index
