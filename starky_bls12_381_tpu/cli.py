@@ -12,9 +12,11 @@ witness, run the 7-stark pipeline). Input format (see
   "signature": [[x0, x1], [y0, y1]]     # affine G2, decimal strings
 }
 
-The reference's fixtures are Ethereum light-client updates whose signing
-root comes from SSZ tree-hashing (main.rs:34-39); SSZ derivation of the
-root is not reimplemented here — callers supply the signing root directly.
+The `prove-lc` subcommand consumes the reference's actual fixture format —
+two Ethereum light-client update JSONs — decoding the 512 compressed
+pubkeys, the sync-committee bitfield and signature, and deriving the
+signing root via SSZ tree-hashing + domain exactly as main.rs:29-39 does
+(fields/ssz.py, fields/compression.py).
 """
 
 from __future__ import annotations
@@ -29,12 +31,41 @@ import time
 def load_input(path: str):
     with open(path) as f:
         data = json.load(f)
-    pubkeys = [(int(x), int(y)) for x, y in data["pubkeys"]]
+    if "pubkeys_hex" in data:  # compressed wire format (48B/96B, ZCash flags)
+        from .fields import compression as cz
+
+        pubkeys = [cz.g1_decompress(bytes.fromhex(h.removeprefix("0x"))) for h in data["pubkeys_hex"]]
+        signature = cz.g2_decompress(bytes.fromhex(data["signature_hex"].removeprefix("0x")))
+    else:
+        pubkeys = [(int(x), int(y)) for x, y in data["pubkeys"]]
+        sx, sy = data["signature"]
+        signature = ((int(sx[0]), int(sx[1])), (int(sy[0]), int(sy[1])))
     bits = [int(b) for b in data["bits"]]
     message = bytes.fromhex(data["message_hex"])
-    sx, sy = data["signature"]
-    signature = ((int(sx[0]), int(sx[1])), (int(sy[0]), int(sy[1])))
     return data.get("num_points", len(pubkeys)), pubkeys, bits, message, signature
+
+
+def load_light_client_input(prev_path: str, cur_path: str, domain_hex: str):
+    """The reference's exact input flow (main.rs:8-55): pubkeys from the
+    previous period's next_sync_committee, sync aggregate + attested header
+    from the current update, signing root via SSZ tree-hash + domain."""
+    from .fields import compression as cz
+    from .fields import ssz
+
+    with open(prev_path) as f:
+        prev = json.load(f)
+    with open(cur_path) as f:
+        cur = json.load(f)
+    pubkeys = [
+        cz.g1_decompress(bytes.fromhex(h.removeprefix("0x")))
+        for h in prev["data"]["next_sync_committee"]["pubkeys"]
+    ]
+    agg = cur["data"]["sync_aggregate"]
+    bits = ssz.decode_sync_committee_bits(agg["sync_committee_bits"], len(pubkeys))
+    signature = cz.g2_decompress(bytes.fromhex(agg["sync_committee_signature"].removeprefix("0x")))
+    domain = bytes.fromhex(domain_hex.removeprefix("0x"))
+    message = ssz.light_client_signing_root(cur["data"]["attested_header"]["beacon"], domain)
+    return len(pubkeys), pubkeys, bits, message, signature
 
 
 def make_example_input(path: str, num_points: int = 8, seed: int = 7):
@@ -95,6 +126,14 @@ def main(argv=None):
     p_ex = sub.add_parser("make-example", help="write a self-consistent example input")
     p_ex.add_argument("path")
     p_ex.add_argument("--num-points", type=int, default=8)
+    p_lc = sub.add_parser(
+        "prove-lc", help="prove from two light-client update JSONs (main.rs flow)"
+    )
+    p_lc.add_argument("prev_update", help="previous period update (pubkey source)")
+    p_lc.add_argument("cur_update", help="current update (sync aggregate + header)")
+    p_lc.add_argument("--domain", required=True, help="32-byte signing domain, hex")
+    p_lc.add_argument("--out", default="aggregate_proof.pkl")
+    p_lc.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
     if args.cmd == "make-example":
@@ -105,6 +144,21 @@ def main(argv=None):
     import numpy as np
 
     from .aggregate import AggregatePipeline
+
+    if args.cmd == "prove-lc":
+        num_points, pubkeys, bits, message, signature = load_light_client_input(
+            args.prev_update, args.cur_update, args.domain
+        )
+        pipeline = AggregatePipeline(
+            num_points=num_points, xp=np if args.cpu else None
+        )
+        t0 = time.time()
+        bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
+        print(f"proved 7 starks in {time.time() - t0:.1f}s")
+        with open(args.out, "wb") as f:
+            pickle.dump(bundle, f)
+        print(f"wrote {args.out}")
+        return
 
     num_points, pubkeys, bits, message, signature = load_input(args.input)
     pipeline = AggregatePipeline(

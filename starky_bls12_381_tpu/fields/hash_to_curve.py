@@ -276,9 +276,19 @@ def _isqrt(n: int) -> int:
 
 
 def clear_cofactor(p):
+    """Multiply by the RFC 9380 §8.8.2 *effective* cofactor.
+
+    h_eff = h2 * (3x^2 - 3) where h2 = #E2(Fp2)/r is the plain cofactor and
+    x the (negative) BLS parameter — h_eff differs from h2 modulo r, so the
+    plain cofactor would land on a different (valid-subgroup) point than
+    every standard implementation. The relation is validated end-to-end by
+    tests/test_light_client.py against a real mainnet sync-aggregate
+    signature.
+    """
     global _H_EFF
     if _H_EFF is None:
-        _H_EFF = _twist_order() // R_ORDER
+        x = -bls.BLS_X
+        _H_EFF = (_twist_order() // R_ORDER) * (3 * x * x - 3)
     return g2_scalar_mul(p, _H_EFF)
 
 
