@@ -371,13 +371,15 @@ class StarkProver:
             self.timings[name] = self.timings.get(name, 0.0) + now - _t[0]
             _t[0] = now
 
-        # 1. trace commitment — every chip trace cell is a u32 limb/carry/
-        # bit by construction, so the host->device transfer ships uint32
-        # (halves the dominant upload cost; widened on device)
-        assert int(trace.max(initial=0)) < (1 << 32), "trace cell exceeds u32"
-        trace_lde, trace_coeffs, trace_layers = self._commit_trace(
-            self._dev(trace.astype(np.uint32))
-        )
+        # 1. trace commitment — every BLS chip trace cell is a u32 limb/
+        # carry/bit by construction, so those ship as uint32 (halves the
+        # dominant upload cost; widened on device). Airs with full-width
+        # cells (e.g. PoseidonAir) take the u64 path.
+        if int(trace.max(initial=0)) < (1 << 32):
+            trace_dev = self._dev(trace.astype(np.uint32))
+        else:
+            trace_dev = self._dev(trace.astype(np.uint64))
+        trace_lde, trace_coeffs, trace_layers = self._commit_trace(trace_dev)
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
         mark("commit_trace")
