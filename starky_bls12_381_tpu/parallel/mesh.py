@@ -69,8 +69,107 @@ def shard_commit_step(mesh, trace, weights, rate_bits: int = 1, cap_height: int 
     return caps, combined
 
 
+def shard_quotient_step(mesh, air, config, trace, alphas, pis):
+    """Constraint evaluation + quotient over the LDE DOMAIN sharded by rows.
+
+    The commit path shards columns (per-column NTT is independent); the
+    quotient path shards the other axis: every device evaluates ALL
+    constraints on its slice of LDE points. The only cross-device
+    dependency is the `next`-row access (global roll by blowup), satisfied
+    with a halo exchange: each shard ppermutes its first `blowup` LDE rows
+    to the previous shard over ICI. Everything else (filters, Z_H^{-1},
+    constant-column LDE) is row-local.
+
+    Returns the (n0, num_challenges) quotient values (host numpy),
+    bit-identical to the single-chip `StarkProver._quotient`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..backend.air import BaseVectorAlgebra, Ctx, DegreeAccessors, DegreeAlgebra, VectorAccessors
+    from ..backend.prover import SHIFT, _domain_points, _filter_vector, _zh_values
+
+    n = air.num_rows
+    blowup = config.blowup
+    n0 = n * blowup
+    n_dev = len(mesh.devices.reshape(-1))
+    assert n0 % n_dev == 0 and (n0 // n_dev) >= blowup
+
+    # host precomputation (identical to StarkProver.__init__)
+    dctx = Ctx(DegreeAlgebra(), DegreeAccessors())
+    air.eval(dctx)
+    filts = []
+    for filt, _d, _deg in dctx.constraints:
+        if filt not in filts:
+            filts.append(filt)
+    filter_index = {f: i for i, f in enumerate(filts)}
+    pts = _domain_points(n0)
+    zh = _zh_values(n, n0)
+    zh_inv = np.asarray(gl.gl_inv(zh))
+    filters = (
+        np.stack([_filter_vector(f, n, n0, pts, zh) for f in filts])
+        if filts
+        else np.ones((1, n0), dtype=np.uint64)
+    )
+    const = air.constant_columns()
+    if const is not None:
+        c_lde, _ = ntt.lde(np.asarray(const, dtype=np.uint64), config.rate_bits, SHIFT)
+        c_lde = np.asarray(c_lde)
+    else:
+        c_lde = np.zeros((n0, 1), dtype=np.uint64)
+    lde_full, _ = ntt.lde(np.asarray(trace, dtype=np.uint64), config.rate_bits, SHIFT)
+    lde_full = np.asarray(lde_full)
+    pis_arr = np.asarray([int(x) % gl.P for x in pis], dtype=np.uint64) if len(pis) else np.zeros(
+        1, dtype=np.uint64
+    )
+    alphas_arr = np.asarray(alphas, dtype=np.uint64)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("row", None), P("row", None), P(None), P(None), P(None, "row"), P("row")),
+        out_specs=P("row", None),
+    )
+    def step(lde_s, c_s, alphas_a, pis_a, filters_s, zh_inv_s):
+        halo = jax.lax.ppermute(lde_s[:blowup], "row", perm)
+        next_s = jnp.concatenate([lde_s[blowup:], halo], axis=0)
+        c_halo = jax.lax.ppermute(c_s[:blowup], "row", perm)
+        c_next = jnp.concatenate([c_s[blowup:], c_halo], axis=0)
+        alg = BaseVectorAlgebra(jnp)
+        acc_ = VectorAccessors(jnp, lde_s, next_s, c_s, c_next, pis_a)
+        ctx = Ctx(alg, acc_)
+        air.eval(ctx)
+        outs = []
+        for ci in range(config.num_challenges):
+            alpha = alphas_a[ci]
+            acc = jnp.zeros((lde_s.shape[0],), dtype=jnp.uint64)
+            for filt, data, _deg in reversed(ctx.constraints):
+                grp, nrows = alg.combine_rows(data, alpha)
+                if filt[0] != "every":
+                    grp = gl.gl_mul(grp, filters_s[filter_index[filt]])
+                a_pow = gl.gl_pow(alpha, nrows)
+                acc = gl.gl_add(gl.gl_mul(acc, a_pow), grp)
+            outs.append(gl.gl_mul(acc, zh_inv_s))
+        return jnp.stack(outs, axis=1)
+
+    qv = jax.jit(step)(
+        jnp.asarray(lde_full),
+        jnp.asarray(c_lde),
+        jnp.asarray(alphas_arr),
+        jnp.asarray(pis_arr),
+        jnp.asarray(filters),
+        jnp.asarray(zh_inv),
+    )
+    return np.asarray(qv)
+
+
 def dryrun_multichip(n_devices: int) -> None:
-    """Build an n-device mesh and run one sharded prove step on tiny shapes."""
+    """Build an n-device mesh and run one sharded prove step on tiny shapes:
+    column-sharded commit + collective DEEP combine, then row-sharded
+    constraint/quotient evaluation with halo exchange on a REAL air,
+    cross-checked against the single-chip prover's quotient."""
     import jax
     from jax.sharding import Mesh
 
@@ -90,3 +189,28 @@ def dryrun_multichip(n_devices: int) -> None:
     lde_vals, _ = ntt.lde(trace, 1, gl.GENERATOR)
     ref0 = gl.gl_sum(gl.gl_mul(lde_vals, weights[:, 0][None, :]), axis=1)
     np.testing.assert_array_equal(combined[0], ref0)
+
+    # row-sharded quotient on a real air (PoseidonAir), halo over ICI
+    from ..backend.config import StarkConfig
+    from ..backend.prover import StarkProver
+    from ..starks.poseidon_air import PoseidonAir
+
+    mesh_r = Mesh(devs, ("row",))
+    air = PoseidonAir(num_perms=2)
+    inputs = [list(rng.integers(0, gl.P, size=12, dtype=np.uint64)) for _ in range(2)]
+    ptrace, ppis = air.generate_trace(inputs)
+    config = StarkConfig(pow_bits=4, num_queries=8)
+    alphas = [3, 5]
+    qv = shard_quotient_step(mesh_r, air, config, ptrace, alphas, ppis)
+    # single-chip (numpy) reference
+    prover = StarkProver(air, config, xp=np)
+    lde_ref, _ = ntt.lde(ptrace.astype(np.uint64), config.rate_bits, gl.GENERATOR)
+    qv_ref = prover._quotient(
+        np.asarray(lde_ref),
+        np.asarray(alphas, dtype=np.uint64),
+        np.asarray([int(x) % gl.P for x in ppis], dtype=np.uint64),
+        prover.filters_np,
+        prover.zh_inv_np,
+        prover.const_lde_np,
+    )
+    np.testing.assert_array_equal(qv, np.asarray(qv_ref))

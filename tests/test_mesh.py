@@ -1,0 +1,52 @@
+"""Multi-device sharding: the full dryrun (column-sharded commit +
+collective DEEP + row-sharded halo-exchange quotient) on the 8-device
+virtual CPU mesh, bit-exact against the single-chip prover."""
+
+import jax
+import numpy as np
+import pytest
+
+from starky_bls12_381_tpu.fields import goldilocks as gl
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_shard_quotient_matches_single_chip_on_merkle_air():
+    """Halo-exchange quotient on a second air type (MerklePathAir) and a
+    4-device mesh."""
+    from jax.sharding import Mesh
+
+    from starky_bls12_381_tpu.backend import merkle, ntt
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.prover import StarkProver
+    from starky_bls12_381_tpu.parallel.mesh import shard_quotient_step
+    from starky_bls12_381_tpu.starks.merkle_air import MerklePathAir
+
+    rng = np.random.default_rng(2)
+    leaves = rng.integers(0, 2**63, size=(8, 4), dtype=np.uint64)
+    layers = [np.asarray(l) for l in merkle.build_layers(leaves, 0)]
+    air = MerklePathAir(depth=3)
+    path = merkle.prove_path(layers, 5)
+    trace, pis = air.generate_trace(list(leaves[5]), path, 5)
+
+    config = StarkConfig(pow_bits=4, num_queries=8)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("row",))
+    qv = shard_quotient_step(mesh, air, config, trace, [7, 11], pis)
+
+    prover = StarkProver(air, config, xp=np)
+    lde_ref, _ = ntt.lde(trace.astype(np.uint64), config.rate_bits, gl.GENERATOR)
+    qv_ref = prover._quotient(
+        np.asarray(lde_ref),
+        np.asarray([7, 11], dtype=np.uint64),
+        np.asarray([int(x) % gl.P for x in pis], dtype=np.uint64),
+        prover.filters_np,
+        prover.zh_inv_np,
+        prover.const_lde_np,
+    )
+    np.testing.assert_array_equal(qv, np.asarray(qv_ref))
