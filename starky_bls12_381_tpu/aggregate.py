@@ -228,3 +228,52 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
     # FinalExp output == 1 (aggregate_proof.rs:592-599)
     req(fe[fe_air.PIS_OUT : fe_air.PIS_OUT + 144] == fp12_to_pis(bls.FP12_ONE),
         "FinalExp output != 1")
+
+
+# ---------------------------------------------------------------------------
+# Bundle wire format (CLI output): versioned binary, no pickle.
+# ---------------------------------------------------------------------------
+
+_BUNDLE_MAGIC = b"SBTB"
+_BUNDLE_VERSION = 1
+
+
+def bundle_to_bytes(bundle: AggregateBundle) -> bytes:
+    from .backend.proof import proof_to_bytes
+
+    out = [_BUNDLE_MAGIC, _BUNDLE_VERSION.to_bytes(4, "little")]
+    out.append(int(bundle.num_points).to_bytes(8, "little"))
+    for stage in STAGES:
+        pis = bundle.publics[stage]
+        out.append(len(pis).to_bytes(8, "little"))
+        import numpy as np
+
+        out.append(np.asarray(pis, dtype="<u8").tobytes())
+        blob = proof_to_bytes(bundle.proofs[stage])
+        out.append(len(blob).to_bytes(8, "little"))
+        out.append(blob)
+    return b"".join(out)
+
+
+def bundle_from_bytes(data: bytes) -> AggregateBundle:
+    import numpy as np
+
+    from .backend.proof import proof_from_bytes
+
+    assert data[:4] == _BUNDLE_MAGIC, "bad bundle magic"
+    assert int.from_bytes(data[4:8], "little") == _BUNDLE_VERSION, "bad bundle version"
+    off = 8
+    num_points = int.from_bytes(data[off : off + 8], "little")
+    off += 8
+    proofs, publics = {}, {}
+    for stage in STAGES:
+        n = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        publics[stage] = [int(x) for x in np.frombuffer(data, dtype="<u8", count=n, offset=off)]
+        off += 8 * n
+        ln = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        proofs[stage] = proof_from_bytes(data[off : off + ln])
+        off += ln
+    assert off == len(data), "trailing bytes in bundle"
+    return AggregateBundle(proofs=proofs, publics=publics, num_points=num_points)

@@ -65,3 +65,124 @@ class StarkProof:
 
         visit(self)
         return total
+
+
+# ---------------------------------------------------------------------------
+# Wire format: versioned, deterministic little-endian u64 stream.
+# The reference serializes proofs through plonky2's buffer format (and
+# declares plonky2-circuit-serializer, Cargo.toml:19); here the capability
+# is a self-describing binary encoding independent of pickle.
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"SBTP"  # starky_bls12_381_tpu proof
+_VERSION = 1
+
+
+def _w_arr(out: list, a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    out.append(np.uint64(a.ndim).tobytes())
+    out.append(np.asarray(a.shape, dtype=np.uint64).tobytes())
+    out.append(a.tobytes())
+
+
+class _Reader:
+    def __init__(self, data: bytes, off: int = 0):
+        self.data = data
+        self.off = off
+
+    def u64(self) -> int:
+        v = int.from_bytes(self.data[self.off : self.off + 8], "little")
+        self.off += 8
+        return v
+
+    def arr(self) -> np.ndarray:
+        ndim = self.u64()
+        shape = tuple(self.u64() for _ in range(ndim))
+        n = int(np.prod(shape)) if shape else 1
+        a = np.frombuffer(self.data, dtype="<u8", count=n, offset=self.off).reshape(shape)
+        self.off += 8 * n
+        return a.astype(np.uint64)
+
+
+def proof_to_bytes(p: StarkProof) -> bytes:
+    out: list = [_MAGIC, _VERSION.to_bytes(4, "little")]
+    _w_arr(out, p.trace_cap)
+    _w_arr(out, p.quotient_cap)
+    _w_arr(out, p.trace_local)
+    _w_arr(out, p.trace_next)
+    _w_arr(out, p.quotient_open)
+    f = p.fri
+    out.append(np.uint64(len(f.layer_caps)).tobytes())
+    for cap in f.layer_caps:
+        _w_arr(out, cap)
+    _w_arr(out, f.final_coeffs)
+    out.append(np.uint64(f.pow_nonce).tobytes())
+    out.append(np.uint64(len(f.query_rounds)).tobytes())
+    for q in f.query_rounds:
+        out.append(np.uint64(q.index).tobytes())
+        _w_arr(out, q.trace_row)
+        out.append(np.uint64(len(q.trace_path)).tobytes())
+        for d in q.trace_path:
+            _w_arr(out, d)
+        _w_arr(out, q.quotient_row)
+        out.append(np.uint64(len(q.quotient_path)).tobytes())
+        for d in q.quotient_path:
+            _w_arr(out, d)
+        out.append(np.uint64(len(q.steps)).tobytes())
+        for s in q.steps:
+            _w_arr(out, s.pair)
+            out.append(np.uint64(len(s.path)).tobytes())
+            for d in s.path:
+                _w_arr(out, d)
+    return b"".join(out)
+
+
+def proof_from_bytes(data: bytes) -> StarkProof:
+    assert data[:4] == _MAGIC, "bad proof magic"
+    version = int.from_bytes(data[4:8], "little")
+    assert version == _VERSION, f"unsupported proof version {version}"
+    r = _Reader(data, 8)
+    trace_cap = r.arr()
+    quotient_cap = r.arr()
+    trace_local = r.arr()
+    trace_next = r.arr()
+    quotient_open = r.arr()
+    layer_caps = [r.arr() for _ in range(r.u64())]
+    final_coeffs = r.arr()
+    pow_nonce = r.u64()
+    rounds = []
+    for _ in range(r.u64()):
+        index = r.u64()
+        trace_row = r.arr()
+        trace_path = [r.arr() for _ in range(r.u64())]
+        quotient_row = r.arr()
+        quotient_path = [r.arr() for _ in range(r.u64())]
+        steps = []
+        for _ in range(r.u64()):
+            pair = r.arr()
+            path = [r.arr() for _ in range(r.u64())]
+            steps.append(FriStep(pair=pair, path=path))
+        rounds.append(
+            FriQueryRound(
+                index=index,
+                trace_row=trace_row,
+                trace_path=trace_path,
+                quotient_row=quotient_row,
+                quotient_path=quotient_path,
+                steps=steps,
+            )
+        )
+    assert r.off == len(data), "trailing bytes in proof"
+    return StarkProof(
+        trace_cap=trace_cap,
+        quotient_cap=quotient_cap,
+        trace_local=trace_local,
+        trace_next=trace_next,
+        quotient_open=quotient_open,
+        fri=FriProof(
+            layer_caps=layer_caps,
+            final_coeffs=final_coeffs,
+            pow_nonce=pow_nonce,
+            query_rounds=rounds,
+        ),
+    )

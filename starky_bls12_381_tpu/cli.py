@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import pickle
 import sys
 import time
 
@@ -118,7 +117,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     p_prove = sub.add_parser("prove", help="run the 7-stark pipeline on a JSON input")
     p_prove.add_argument("input")
-    p_prove.add_argument("--out", default="aggregate_proof.pkl")
+    p_prove.add_argument("--out", default="aggregate_proof.bin")
     p_prove.add_argument("--cpu", action="store_true", help="use numpy instead of the TPU")
     p_ver = sub.add_parser("verify", help="verify a proof bundle against a JSON input")
     p_ver.add_argument("input")
@@ -132,7 +131,7 @@ def main(argv=None):
     p_lc.add_argument("prev_update", help="previous period update (pubkey source)")
     p_lc.add_argument("cur_update", help="current update (sync aggregate + header)")
     p_lc.add_argument("--domain", required=True, help="32-byte signing domain, hex")
-    p_lc.add_argument("--out", default="aggregate_proof.pkl")
+    p_lc.add_argument("--out", default="aggregate_proof.bin")
     p_lc.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -155,8 +154,10 @@ def main(argv=None):
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
         print(f"proved 7 starks in {time.time() - t0:.1f}s")
+        from .aggregate import bundle_to_bytes
+
         with open(args.out, "wb") as f:
-            pickle.dump(bundle, f)
+            f.write(bundle_to_bytes(bundle))
         print(f"wrote {args.out}")
         return
 
@@ -168,12 +169,16 @@ def main(argv=None):
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
         print(f"proved 7 starks in {time.time() - t0:.1f}s")
+        from .aggregate import bundle_to_bytes
+
         with open(args.out, "wb") as f:
-            pickle.dump(bundle, f)
+            f.write(bundle_to_bytes(bundle))
         print(f"wrote {args.out}")
     else:
+        from .aggregate import bundle_from_bytes
+
         with open(args.proof, "rb") as f:
-            bundle = pickle.load(f)
+            bundle = bundle_from_bytes(f.read())
         t0 = time.time()
         pipeline.verify_aggregate(bundle, pubkeys, bits, message, signature)
         print(f"verified 7 proofs + links in {time.time() - t0:.1f}s")
