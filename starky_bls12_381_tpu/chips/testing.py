@@ -14,21 +14,54 @@ import numpy as np
 from ..backend.air import BaseVectorAlgebra, Ctx, VectorAccessors
 
 
-def residuals(air, trace: np.ndarray, pis):
-    """Run air.eval over the trace domain; returns [(filter, residual array)]."""
+def residuals(air, trace: np.ndarray, pis, use_jax: bool | None = None):
+    """Run air.eval over the trace domain; returns [(filter, residual array)].
+
+    Large traces route through a jit-compiled jax-CPU evaluation (fused,
+    multi-threaded) — the wide starks (~90k columns) take minutes in eager
+    numpy but seconds compiled. Results are bit-identical (same algebra)."""
     n = air.num_rows
-    nxt = np.roll(trace, -1, axis=0)
     const = air.constant_columns()
     if const is None:
         const = np.zeros((n, 1), dtype=np.uint64)
     const = np.asarray(const, dtype=np.uint64)
-    cnxt = np.roll(const, -1, axis=0)
     pis_arr = np.asarray([int(x) for x in pis], dtype=np.uint64) if len(pis) else np.zeros(1, np.uint64)
+    if use_jax is None:
+        use_jax = trace.size >= (1 << 24)
+
+    if use_jax:
+        import jax
+        import jax.numpy as jnp
+
+        filts = [filt for filt, _d, _deg in _degree_constraints(air)]
+
+        def f(tr, const_a, pis_a):
+            nxt = jnp.roll(tr, -1, axis=0)
+            cnxt = jnp.roll(const_a, -1, axis=0)
+            ctx = Ctx(BaseVectorAlgebra(jnp), VectorAccessors(jnp, tr, nxt, const_a, cnxt, pis_a))
+            air.eval(ctx)
+            return [d for _f, d, _deg in ctx.constraints]
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            outs = jax.jit(f)(jnp.asarray(trace), jnp.asarray(const), jnp.asarray(pis_arr))
+        return [(filt, np.asarray(d)) for filt, d in zip(filts, outs)]
+
+    nxt = np.roll(trace, -1, axis=0)
+    cnxt = np.roll(const, -1, axis=0)
     alg = BaseVectorAlgebra(np)
     acc = VectorAccessors(np, trace, nxt, const, cnxt, pis_arr)
     ctx = Ctx(alg, acc)
     air.eval(ctx)
     return [(filt, np.asarray(d)) for filt, d, _deg in ctx.constraints]
+
+
+def _degree_constraints(air):
+    from ..backend.air import DegreeAccessors, DegreeAlgebra
+
+    ctx = Ctx(DegreeAlgebra(), DegreeAccessors())
+    air.eval(ctx)
+    return ctx.constraints
 
 
 def assert_zero_residuals(air, trace: np.ndarray, pis):
