@@ -212,11 +212,19 @@ class StarkProver:
         return arr if self.xp is np else self.xp.asarray(arr)
 
     # -- stages ---------------------------------------------------------
+    def _hash_rows(self, rows):
+        """Leaf hashing: identical traced op under jit; the numpy oracle
+        path routes through the jit-compiled CPU helper (bit-identical,
+        ~10x faster on wide LDEs)."""
+        if self.xp is np:
+            return ps.hash_rows_host_fast(rows)
+        return ps.hash_rows(rows)
+
     def _commit_trace(self, trace):
         def f(tr32):
             tr = tr32.astype(self.xp.uint64)
             lde_, coeffs = ntt.lde(tr, self.config.rate_bits, SHIFT)
-            layers = merkle.build_layers(ps.hash_rows(lde_), self.config.cap_height)
+            layers = merkle.build_layers(self._hash_rows(lde_), self.config.cap_height)
             return lde_, coeffs, layers
 
         return self._stage("commit_trace", f)(trace)
@@ -260,7 +268,7 @@ class StarkProver:
             ]
             q_chunk_coeffs = self.xp.concatenate(chunks, axis=1)  # (n, nc*factor)
             q_lde = ntt.coset_evaluate(q_chunk_coeffs, self.n0, SHIFT)
-            layers = merkle.build_layers(ps.hash_rows(q_lde), self.config.cap_height)
+            layers = merkle.build_layers(self._hash_rows(q_lde), self.config.cap_height)
             return q_chunk_coeffs, q_lde, layers
 
         return self._stage("commit_quotient", f)(qv)
@@ -308,7 +316,7 @@ class StarkProver:
     def _fri_commit_layer(self, values, layer: int):
         def f(v0, v1):
             rows = fri.pair_rows((v0, v1), self.xp)
-            layers = merkle.build_layers(ps.hash_rows(rows), self.config.cap_height)
+            layers = merkle.build_layers(self._hash_rows(rows), self.config.cap_height)
             return layers
 
         return self._stage(f"fri_commit_{layer}", f)(values[0], values[1])
