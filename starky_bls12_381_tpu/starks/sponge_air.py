@@ -10,8 +10,8 @@ the next message chunk (from PIs) and carries the capacity lanes.
 
 PIs: message (num_chunks * 8, zero-padded) || digest (4).
 
-Degree <= 3 throughout (witness-factored sbox; boundary overwrite is
-degree 1 on row filters), so the rate-1 FRI config applies.
+Shared permutation structure/constraints: poseidon_block.py (degree <= 3,
+rate-1 FRI config; boundary overwrite is degree 1 on row filters).
 """
 
 from __future__ import annotations
@@ -21,30 +21,17 @@ import numpy as np
 from ..backend import poseidon as ps
 from ..backend.air import Air
 from ..fields import goldilocks as gl
+from . import poseidon_block as pb
 
-N_ROUNDS = ps.N_ROUNDS
-WIDTH = ps.WIDTH
+N_ROUNDS = pb.N_ROUNDS
+WIDTH = pb.WIDTH
 RATE = ps.RATE
 CAP = ps.CAP
-ROWS_PER_PERM = N_ROUNDS + 1
+ROWS_PER_PERM = pb.ROWS_PER_PERM
 
-S = 0
-W3 = WIDTH
-W6 = 2 * WIDTH
-U = 3 * WIDTH
-TOTAL_COLS = 4 * WIDTH
-
-C_RC = 0
-C_ROUND = WIDTH
-C_FULL = WIDTH + 1
-C_PARTIAL = WIDTH + 2
-C_TOTAL = WIDTH + 3
-
-_HALF = ps.N_FULL // 2
-
-
-def _round_is_full(r: int) -> bool:
-    return not (_HALF <= r < _HALF + ps.N_PARTIAL)
+S = pb.S
+TOTAL_COLS = pb.BLOCK_COLS
+C_TOTAL = pb.C_TOTAL
 
 
 class SpongeAir(Air):
@@ -52,7 +39,7 @@ class SpongeAir(Air):
 
     def __init__(self, num_chunks: int = 4):
         self.num_chunks = num_chunks
-        self.num_rows = _next_pow2(ROWS_PER_PERM * num_chunks + 1)
+        self.num_rows = pb.next_pow2(ROWS_PER_PERM * num_chunks + 1)
         self.num_cols = TOTAL_COLS
         self.num_pis = num_chunks * RATE + CAP
         self.PIS_MSG = 0
@@ -64,11 +51,7 @@ class SpongeAir(Air):
     def constant_columns(self):
         out = np.zeros((self.num_rows, C_TOTAL), dtype=np.uint64)
         for k in range(self.num_chunks):
-            base = self._block_base(k)
-            for r in range(N_ROUNDS):
-                out[base + r, C_RC : C_RC + WIDTH] = ps._RC_NP[r]
-                out[base + r, C_ROUND] = 1
-                out[base + r, C_FULL if _round_is_full(r) else C_PARTIAL] = 1
+            pb.write_round_constants(out, self._block_base(k))
         return out
 
     def generate_trace(self, elements):
@@ -82,64 +65,15 @@ class SpongeAir(Air):
         consts = self.constant_columns()
         state = [0] * WIDTH
         for k in range(self.num_chunks):
-            chunk = msg[k * RATE : (k + 1) * RATE]
-            state = chunk + state[RATE:]
-            base = self._block_base(k)
-            for r in range(N_ROUNDS):
-                row = base + r
-                trace[row, S : S + WIDTH] = state
-                tmp = [(state[i] + ps.ROUND_CONSTANTS[r][i]) % P for i in range(WIDTH)]
-                u = []
-                for i in range(WIDTH):
-                    w3 = tmp[i] * tmp[i] % P * tmp[i] % P
-                    w6 = w3 * w3 % P
-                    trace[row, W3 + i] = w3
-                    trace[row, W6 + i] = w6
-                    u.append(w6 * tmp[i] % P if (i == 0 or _round_is_full(r)) else tmp[i])
-                trace[row, U : U + WIDTH] = u
-                state = [
-                    sum(ps.MDS[j][i] * u[i] for i in range(WIDTH)) % P for j in range(WIDTH)
-                ]
-            trace[base + N_ROUNDS, S : S + WIDTH] = state
+            state = msg[k * RATE : (k + 1) * RATE] + state[RATE:]
+            state = pb.fill_permutation(trace, self._block_base(k), state)
         digest = state[:CAP]
         assert tuple(digest) == ps.hash_elements_s(msg), "sponge trace fill mismatch"
-        for row in range(self.num_rows):
-            if consts[row, C_ROUND]:
-                continue
-            for i in range(WIDTH):
-                t = int(trace[row, S + i])
-                w3 = t * t % P * t % P
-                trace[row, W3 + i] = w3
-                trace[row, W6 + i] = w3 * w3 % P
-                if i == 0:
-                    trace[row, U] = (w3 * w3 % P) * t % P
-        pis = msg + digest
-        return trace, pis
+        pb.fill_nonround_witnesses(trace, consts)
+        return trace, msg + digest
 
     def eval(self, ctx):
-        s = ctx.local(S, WIDTH)
-        s_next = ctx.next(S, WIDTH)
-        w3 = ctx.local(W3, WIDTH)
-        w6 = ctx.local(W6, WIDTH)
-        u = ctx.local(U, WIDTH)
-        rc = ctx.const(C_RC, WIDTH)
-        c_round = ctx.const(C_ROUND)
-        c_full = ctx.const(C_FULL)
-        c_partial = ctx.const(C_PARTIAL)
-
-        tmp = s + rc
-        ctx.constraint(w3 - tmp * tmp * tmp)
-        ctx.constraint(w6 - w3 * w3)
-        ctx.constraint(u[0] - w6[0] * tmp[0])
-        ctx.constraint(c_full[None] * (u[1:] - w6[1:] * tmp[1:]))
-        ctx.constraint(c_partial[None] * (u[1:] - tmp[1:]))
-        mds = ctx.lift(np.asarray(ps.MDS, dtype=np.uint64))
-        acc = None
-        for i in range(WIDTH):
-            term = mds[:, i] * u[i][None]
-            acc = term if acc is None else acc + term
-        ctx.constraint_transition(c_round[None] * (s_next - acc))
-
+        s, _ = pb.eval_block(ctx)
         # absorb bindings: block k's input = [chunk_k (PI), carry capacity]
         for k in range(self.num_chunks):
             base = self._block_base(k)
@@ -147,16 +81,10 @@ class SpongeAir(Air):
             ctx.constraint(s[:RATE] - chunk, ("row", base))
             if k == 0:
                 ctx.constraint(s[RATE:], ("row", 0))
-        # capacity carry: previous result row's tail lanes == next input's.
-        # the result row of block k IS row base(k+1)-1, so this is a plain
-        # transition relation on those rows; reuse a row filter per block.
+        # capacity carry: previous result row's tail lanes == next input's
         for k in range(1, self.num_chunks):
             brow = self._block_base(k) - 1  # result row of block k-1
             ctx.constraint(ctx.next(S + RATE, WIDTH - RATE) - s[RATE:], ("row", brow))
         digest = ctx.pi(self.PIS_DIGEST, CAP)
         last_res = self._block_base(self.num_chunks - 1) + N_ROUNDS
         ctx.constraint(s[:CAP] - digest, ("row", last_res))
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (n - 1)).bit_length()

@@ -22,8 +22,8 @@ single permute, exactly like Challenger._duplex; consecutive pops from
 one buffer are a single block's m > 1.
 
 PIs: absorbed elements (schedule order) then squeezed challenges
-(schedule order). 31 rows per permutation as the sibling chips;
-degree <= 3, rate-1 config.
+(schedule order). Shared permutation structure/constraints:
+poseidon_block.py (31 rows per permutation, degree <= 3, rate-1 config).
 """
 
 from __future__ import annotations
@@ -33,29 +33,16 @@ import numpy as np
 from ..backend import poseidon as ps
 from ..backend.air import Air
 from ..fields import goldilocks as gl
+from . import poseidon_block as pb
 
-N_ROUNDS = ps.N_ROUNDS
-WIDTH = ps.WIDTH
+N_ROUNDS = pb.N_ROUNDS
+WIDTH = pb.WIDTH
 RATE = ps.RATE
-ROWS_PER_PERM = N_ROUNDS + 1
+ROWS_PER_PERM = pb.ROWS_PER_PERM
 
-S = 0
-W3 = WIDTH
-W6 = 2 * WIDTH
-U = 3 * WIDTH
-TOTAL_COLS = 4 * WIDTH
-
-C_RC = 0
-C_ROUND = WIDTH
-C_FULL = WIDTH + 1
-C_PARTIAL = WIDTH + 2
-C_TOTAL = WIDTH + 3
-
-_HALF = ps.N_FULL // 2
-
-
-def _round_is_full(r: int) -> bool:
-    return not (_HALF <= r < _HALF + ps.N_PARTIAL)
+S = pb.S
+TOTAL_COLS = pb.BLOCK_COLS
+C_TOTAL = pb.C_TOTAL
 
 
 class TranscriptAir(Air):
@@ -67,7 +54,7 @@ class TranscriptAir(Air):
         for k, m in self.schedule:
             assert 0 <= k <= RATE and 0 <= m <= RATE
         self.num_blocks = len(self.schedule)
-        self.num_rows = _next_pow2(ROWS_PER_PERM * self.num_blocks + 1)
+        self.num_rows = pb.next_pow2(ROWS_PER_PERM * self.num_blocks + 1)
         self.num_cols = TOTAL_COLS
         self.n_absorbed = sum(k for k, _m in self.schedule)
         self.n_squeezed = sum(m for _k, m in self.schedule)
@@ -81,11 +68,7 @@ class TranscriptAir(Air):
     def constant_columns(self):
         out = np.zeros((self.num_rows, C_TOTAL), dtype=np.uint64)
         for b in range(self.num_blocks):
-            base = self._block_base(b)
-            for r in range(N_ROUNDS):
-                out[base + r, C_RC : C_RC + WIDTH] = ps._RC_NP[r]
-                out[base + r, C_ROUND] = 1
-                out[base + r, C_FULL if _round_is_full(r) else C_PARTIAL] = 1
+            pb.write_round_constants(out, self._block_base(b))
         return out
 
     # -- trace ------------------------------------------------------------
@@ -104,60 +87,14 @@ class TranscriptAir(Air):
             if k:
                 state = vals[ai : ai + k] + state[k:]
                 ai += k
-            base = self._block_base(b)
-            for r in range(N_ROUNDS):
-                row = base + r
-                trace[row, S : S + WIDTH] = state
-                tmp = [(state[i] + ps.ROUND_CONSTANTS[r][i]) % P for i in range(WIDTH)]
-                u = []
-                for i in range(WIDTH):
-                    w3 = tmp[i] * tmp[i] % P * tmp[i] % P
-                    w6 = w3 * w3 % P
-                    trace[row, W3 + i] = w3
-                    trace[row, W6 + i] = w6
-                    u.append(w6 * tmp[i] % P if (i == 0 or _round_is_full(r)) else tmp[i])
-                trace[row, U : U + WIDTH] = u
-                state = [
-                    sum(ps.MDS[j][i] * u[i] for i in range(WIDTH)) % P for j in range(WIDTH)
-                ]
-            trace[base + N_ROUNDS, S : S + WIDTH] = state
+            state = pb.fill_permutation(trace, self._block_base(b), state)
             squeezed.extend(state[RATE - 1 - j] for j in range(m))
-        for row in range(self.num_rows):
-            if consts[row, C_ROUND]:
-                continue
-            for i in range(WIDTH):
-                t = int(trace[row, S + i])
-                w3 = t * t % P * t % P
-                trace[row, W3 + i] = w3
-                trace[row, W6 + i] = w3 * w3 % P
-                if i == 0:
-                    trace[row, U] = (w3 * w3 % P) * t % P
+        pb.fill_nonround_witnesses(trace, consts)
         return trace, vals + squeezed
 
     # -- constraints -------------------------------------------------------
     def eval(self, ctx):
-        s = ctx.local(S, WIDTH)
-        s_next = ctx.next(S, WIDTH)
-        w3 = ctx.local(W3, WIDTH)
-        w6 = ctx.local(W6, WIDTH)
-        u = ctx.local(U, WIDTH)
-        rc = ctx.const(C_RC, WIDTH)
-        c_round = ctx.const(C_ROUND)
-        c_full = ctx.const(C_FULL)
-        c_partial = ctx.const(C_PARTIAL)
-
-        tmp = s + rc
-        ctx.constraint(w3 - tmp * tmp * tmp)
-        ctx.constraint(w6 - w3 * w3)
-        ctx.constraint(u[0] - w6[0] * tmp[0])
-        ctx.constraint(c_full[None] * (u[1:] - w6[1:] * tmp[1:]))
-        ctx.constraint(c_partial[None] * (u[1:] - tmp[1:]))
-        mds = ctx.lift(np.asarray(ps.MDS, dtype=np.uint64))
-        acc = None
-        for i in range(WIDTH):
-            term = mds[:, i] * u[i][None]
-            acc = term if acc is None else acc + term
-        ctx.constraint_transition(c_round[None] * (s_next - acc))
+        s, _s_next = pb.eval_block(ctx)
 
         ai = 0
         si = 0
@@ -181,10 +118,6 @@ class TranscriptAir(Air):
                 pi = ctx.pi(self.PIS_SQUEEZED + si + j)
                 ctx.constraint(ctx.local(S + RATE - 1 - j) - pi, ("row", res_row))
             si += m
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (n - 1)).bit_length()
 
 
 def schedule_and_inputs_from_events(events):
