@@ -160,6 +160,7 @@ def main():
     t0 = time.time()
     proof = prover.prove(trace, pis)
     warm = time.time() - t0
+    stage_s = {k: round(v, 2) for k, v in getattr(prover, "timings", {}).items()}
     verify(air, proof, pis, config)
     print(
         json.dumps(
@@ -172,6 +173,7 @@ def main():
                 "proof_bytes": proof.size_bytes(),
                 "columns": air.num_cols,
                 "rows": air.num_rows,
+                "stage_s": stage_s,
             }
         )
     )
