@@ -212,6 +212,26 @@ class StarkProver:
         return arr if self.xp is np else self.xp.asarray(arr)
 
     # -- stages ---------------------------------------------------------
+    # number of parallel host->device streams for wide-trace upload; the
+    # remote-TPU tunnel is per-stream bandwidth-limited (~5-20 MB/s), and
+    # ~32 concurrent transfers recover ~3-6x aggregate throughput
+    # (docs/PERF.md). Only engaged above _UPLOAD_SLAB_BYTES.
+    _UPLOAD_SLABS = 32
+    _UPLOAD_SLAB_BYTES = 64 << 20
+
+    def _upload_trace(self, trace_host: np.ndarray):
+        """Host->device trace transfer, slab-parallel for wide traces."""
+        if self.xp is np or trace_host.nbytes < self._UPLOAD_SLAB_BYTES:
+            return self._dev(trace_host)
+        ns = min(self._UPLOAD_SLABS, trace_host.shape[1])
+        slabs = [np.ascontiguousarray(s) for s in np.array_split(trace_host, ns, axis=1)]
+        devs = [self._dev(s) for s in slabs]  # transfers proceed in parallel
+
+        def f(*xs):
+            return self.xp.concatenate(xs, axis=1)
+
+        return self._stage(f"concat_slabs_{ns}", f)(*devs)
+
     def _hash_rows(self, rows):
         """Leaf hashing: identical traced op under jit; the numpy oracle
         path routes through the jit-compiled CPU helper (bit-identical,
@@ -382,11 +402,18 @@ class StarkProver:
         # 1. trace commitment — every BLS chip trace cell is a u32 limb/
         # carry/bit by construction, so those ship as uint32 (halves the
         # dominant upload cost; widened on device). Airs with full-width
-        # cells (e.g. PoseidonAir) take the u64 path.
-        if int(trace.max(initial=0)) < (1 << 32):
-            trace_dev = self._dev(trace.astype(np.uint32))
+        # cells (e.g. PoseidonAir) take the u64 path. Pass the trace
+        # already as uint32 to skip the 100s-of-MB host copy AND let the
+        # runtime's content/identity cache skip re-uploading an unchanged
+        # trace (the host->device transfer dominates warm proving of the
+        # wide airs; see docs/PERF.md).
+        if trace.dtype == np.uint32:
+            trace_host = trace
+        elif int(trace.max(initial=0)) < (1 << 32):
+            trace_host = trace.astype(np.uint32)
         else:
-            trace_dev = self._dev(trace.astype(np.uint64))
+            trace_host = np.ascontiguousarray(trace, dtype=np.uint64)
+        trace_dev = self._upload_trace(trace_host)
         trace_lde, trace_coeffs, trace_layers = self._commit_trace(trace_dev)
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
