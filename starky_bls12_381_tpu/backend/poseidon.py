@@ -103,6 +103,54 @@ def compress_s(left, right):
 
 
 # ---------------------------------------------------------------------------
+# Merkle-leaf hash of a (wide) row: segmented sponge + digest tree.
+#
+# A plain rate-8 sponge over a 90k-column LDE row is an ~11k-step strictly
+# sequential permutation chain — the worst possible shape for the TPU VPU
+# (tiny batch, huge sequential depth). Instead the leaf hash splits the row
+# into S power-of-two segments, sponges each segment independently (all
+# segments of all rows permute together as ONE batched op per step, so the
+# sequential depth drops ~S-fold), then folds the S segment digests with a
+# log2(S)-level binary compression tree. The layout (S, chunks-per-segment)
+# is a pure function of the row width, so prover, verifier, and the
+# recursive Merkle chips all derive the identical digest.
+# ---------------------------------------------------------------------------
+
+LEAF_MAX_LOG_SEGMENTS = 7  # S <= 128
+
+
+def leaf_plan(c: int):
+    """Row width -> (n_chunks K, segments S, chunks-per-segment kseg).
+
+    K = ceil(c / RATE) (>= 1), S = largest power of two <= min(K, 128),
+    kseg = ceil(K / S); the row is zero-padded to S * kseg * RATE lanes.
+    For c <= RATE this is exactly one permutation of the zero-padded chunk.
+    """
+    k = max(1, -(-c // RATE))
+    s = 1 << min(LEAF_MAX_LOG_SEGMENTS, k.bit_length() - 1)
+    kseg = -(-k // s)
+    return k, s, kseg
+
+
+def hash_row_s(elements):
+    """Scalar (python-int) reference of the leaf hash of one row."""
+    _, s, kseg = leaf_plan(len(elements))
+    padded = list(elements) + [0] * (s * kseg * RATE - len(elements))
+    digs = []
+    for seg in range(s):
+        state = [0] * WIDTH
+        base = seg * kseg * RATE
+        for i in range(kseg):
+            chunk = padded[base + i * RATE : base + (i + 1) * RATE]
+            state = [v % P for v in chunk] + state[RATE:]
+            state = permute_s(state)
+        digs.append(tuple(state[:CAP]))
+    while len(digs) > 1:
+        digs = [compress_s(digs[2 * i], digs[2 * i + 1]) for i in range(len(digs) // 2)]
+    return digs[0]
+
+
+# ---------------------------------------------------------------------------
 # Batched permutation: state shape (..., 12) uint64 array (numpy or jnp).
 # ---------------------------------------------------------------------------
 
@@ -140,39 +188,43 @@ def hash_rows(rows):
     """Hash each row of a (N, C) uint64 array to a (N, 4) digest array.
 
     This is the Merkle-leaf hash over a full LDE row (all trace columns),
-    mirroring starky's row commitment. Sponge in overwrite mode, rate 8.
-    On the jax backend the absorb loop is a lax.scan over rate-chunks so the
-    traced graph stays one-permutation-sized even for 100k-column rows.
+    matching `hash_row_s`: segmented sponge (overwrite mode, rate 8) + a
+    binary compression tree over the segment digests. All N*S segment
+    sponges advance together, so each absorb step is one wide batched
+    permutation (sequential depth kseg + log2(S) instead of the ~C/8 of a
+    single row-long sponge), which is what keeps Merkle commitment of
+    90k-column traces off the critical path on TPU (docs/PERF.md).
     """
     xp = gl._xp(rows)
     n, c = rows.shape
-    n_full = c // RATE
-    # derive the zero state from the input so it carries the same sharding
-    # variance inside shard_map (a plain zeros() is mesh-invariant and
-    # breaks the lax.scan carry type)
-    state = (rows[:, :1] & xp.uint64(0)) + xp.zeros((n, WIDTH), dtype=xp.uint64)
-    if n_full:
-        if xp is np:
-            for i in range(n_full):
-                chunk = rows[:, i * RATE : (i + 1) * RATE]
-                state = np.concatenate([chunk, state[:, RATE:]], axis=1)
-                state = permute(state)
-        else:
-            import jax
+    _, s, kseg = leaf_plan(c)
+    pad = s * kseg * RATE - c
+    if pad:
+        # derive the pad from the input so it carries the same sharding
+        # variance inside shard_map (a plain zeros() is mesh-invariant)
+        zero_col = rows[:, :1] & xp.uint64(0)
+        rows = xp.concatenate([rows, xp.broadcast_to(zero_col, (n, pad))], axis=1)
+    # (kseg, N*S, RATE) chunk stream: segment sponges advance in lockstep
+    chunks = rows.reshape(n * s, kseg, RATE).transpose(1, 0, 2)
+    state = (chunks[0, :, :1] & xp.uint64(0)) + xp.zeros((n * s, WIDTH), dtype=xp.uint64)
+    if xp is np:
+        for i in range(kseg):
+            state = np.concatenate([chunks[i], state[:, RATE:]], axis=1)
+            state = permute(state)
+    else:
+        import jax
 
-            chunks = rows[:, : n_full * RATE].reshape(n, n_full, RATE).transpose(1, 0, 2)
+        def body(st, chunk):
+            st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
+            return permute(st), None
 
-            def body(st, chunk):
-                st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
-                return permute(st), None
-
-            state, _ = jax.lax.scan(body, state, chunks)
-    tail = c - n_full * RATE
-    if tail:
-        chunk = rows[:, n_full * RATE :]
-        state = xp.concatenate([chunk, state[:, tail:]], axis=1)
-        state = permute(state)
-    return state[:, :CAP]
+        state, _ = jax.lax.scan(body, state, chunks)
+    digs = state[:, :CAP].reshape(n, s, CAP)
+    while digs.shape[1] > 1:
+        digs = compress_rows(
+            digs[:, 0::2].reshape(-1, CAP), digs[:, 1::2].reshape(-1, CAP)
+        ).reshape(n, digs.shape[1] // 2, CAP)
+    return digs[:, 0]
 
 
 def hash_flat_tree_arr(arr):
