@@ -60,6 +60,79 @@ _RC_NP = np.asarray(ROUND_CONSTANTS, dtype=np.uint64)  # (30, 12)
 
 
 # ---------------------------------------------------------------------------
+# Optimized partial rounds (bit-identical sparse factorization).
+#
+# A partial round is s -> M @ sbox0(s + C). Writing M = M' @ M'' with
+# M' = blockdiag(1, H) and M'' = [[m00, u^T], [H^{-1} w, I]] (where
+# M = [[m00, u^T], [w, H]]), M' commutes with the coord-0-only sbox, so the
+# whole partial-round chain factors as
+#     (M f)^R = M'_R  o  (M''_R f) o ... o (M''_1 f),
+# with M_1 = M, M_{i+1} = M @ M'_i, and round constants transformed as
+# C_i -> blockdiag(1, H_{i-1}^{-1}) @ C_i.  Each M'' application costs
+# 1 + (t-1) + (t-1) = 23 modmuls instead of t^2 = 144, which is what makes
+# Poseidon leaf-hashing of 90k-column LDEs cheap on the VPU (docs/PERF.md).
+# The scalar path `permute_s` keeps the textbook round structure and the
+# test suite pins the two paths equal.
+# ---------------------------------------------------------------------------
+
+
+def _mat_inv_mod(mat):
+    """Inverse of a square matrix of python ints mod P (Gauss-Jordan)."""
+    n = len(mat)
+    a = [[mat[i][j] % P for j in range(n)] + [1 if j == i else 0 for j in range(n)] for i in range(n)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if a[r][col] % P)
+        a[col], a[piv] = a[piv], a[col]
+        inv = gl.inv_s(a[col][col])
+        a[col] = [x * inv % P for x in a[col]]
+        for r in range(n):
+            if r != col and a[r][col]:
+                f = a[r][col]
+                a[r] = [(a[r][j] - f * a[col][j]) % P for j in range(2 * n)]
+    return [row[n:] for row in a]
+
+
+def _mat_mul_mod(a, b):
+    return [[sum(a[i][k] * b[k][j] for k in range(len(b))) % P for j in range(len(b[0]))] for i in range(len(a))]
+
+
+def _derive_fast_partial():
+    half = N_FULL // 2
+    t = WIDTH
+    m00s, us, whats, rcs = [], [], [], []
+    m_i = [row[:] for row in MDS]
+    h_prev_inv = [[1 if i == j else 0 for j in range(t - 1)] for i in range(t - 1)]
+    h = None
+    for i in range(N_PARTIAL):
+        m00 = m_i[0][0]
+        u = [m_i[0][j] for j in range(1, t)]
+        w = [[m_i[j][0]] for j in range(1, t)]
+        h = [[m_i[j][k] for k in range(1, t)] for j in range(1, t)]
+        h_inv = _mat_inv_mod(h)
+        w_hat = [row[0] for row in _mat_mul_mod(h_inv, w)]
+        m00s.append(m00)
+        us.append(u)
+        whats.append(w_hat)
+        c = ROUND_CONSTANTS[half + i]
+        c_rest = _mat_mul_mod(h_prev_inv, [[x] for x in c[1:]])
+        rcs.append([c[0]] + [row[0] for row in c_rest])
+        h_prev_inv = h_inv
+        if i + 1 < N_PARTIAL:
+            m_prime = [[1 if (j == 0 and k == 0) else (h[j - 1][k - 1] if j and k else 0) for k in range(t)] for j in range(t)]
+            m_i = _mat_mul_mod(MDS, m_prime)
+    return (
+        np.asarray(m00s, dtype=np.uint64),  # (R_P,)
+        np.asarray(us, dtype=np.uint64),  # (R_P, 11)
+        np.asarray(whats, dtype=np.uint64),  # (R_P, 11)
+        np.asarray(rcs, dtype=np.uint64),  # (R_P, 12)
+        np.asarray(h, dtype=np.uint64),  # (11, 11) final dense block
+    )
+
+
+_FP_M00, _FP_U, _FP_WHAT, _FP_RC, _FP_DENSE = _derive_fast_partial()
+
+
+# ---------------------------------------------------------------------------
 # Scalar permutation (python ints) — host challenger / reference oracle.
 # ---------------------------------------------------------------------------
 
@@ -169,18 +242,32 @@ def _sbox(x):
 
 
 def permute(state):
-    """Permute a (..., 12) uint64 array."""
+    """Permute a (..., 12) uint64 array (fast-partial-round form;
+    bit-identical to the textbook `permute_s`, see factorization note
+    above)."""
     xp = gl._xp(state)
-    rc = _RC_NP if xp is np else xp.asarray(_RC_NP)
+    asx = (lambda a: a) if xp is np else xp.asarray
+    rc = asx(_RC_NP)
     half = N_FULL // 2
-    for r in range(N_ROUNDS):
-        state = gl.gl_add(state, rc[r])
-        if half <= r < half + N_PARTIAL:
-            s0 = _sbox(state[..., 0:1])
-            state = xp.concatenate([s0, state[..., 1:]], axis=-1)
-        else:
-            state = _sbox(state)
-        state = _mds_layer(state, xp)
+    for r in range(half):
+        state = _mds_layer(_sbox(gl.gl_add(state, rc[r])), xp)
+    fp_rc, fp_m00, fp_u, fp_what = asx(_FP_RC), asx(_FP_M00), asx(_FP_U), asx(_FP_WHAT)
+    for i in range(N_PARTIAL):
+        state = gl.gl_add(state, fp_rc[i])
+        s0 = _sbox(state[..., 0:1])
+        rest = state[..., 1:]
+        new0 = gl.gl_add(
+            gl.gl_mul(s0, fp_m00[i]),
+            gl.gl_sum(gl.gl_mul(rest, fp_u[i]), axis=-1)[..., None],
+        )
+        new_rest = gl.gl_add(rest, gl.gl_mul(s0, fp_what[i]))
+        state = xp.concatenate([new0, new_rest], axis=-1)
+    # final dense factor M'_{R_P} = blockdiag(1, H)
+    dense = asx(_FP_DENSE)
+    rest = gl.gl_sum(gl.gl_mul(state[..., None, 1:], dense), axis=-1)
+    state = xp.concatenate([state[..., 0:1], rest], axis=-1)
+    for r in range(half + N_PARTIAL, N_ROUNDS):
+        state = _mds_layer(_sbox(gl.gl_add(state, rc[r])), xp)
     return state
 
 
