@@ -82,6 +82,13 @@ class AggregatePipeline:
     # -- witness computation (native, aggregate_proof.rs:247-379) --------
     def build_traces(self, pubkeys, bits, message: bytes, signature):
         """Returns ({stage: (trace, pis)}, summary dict of native values)."""
+        builders, summary = self._trace_builders(pubkeys, bits, message, signature)
+        return {stage: builders[stage]() for stage in STAGES}, summary
+
+    def _trace_builders(self, pubkeys, bits, message: bytes, signature):
+        """Native witness values + per-stage trace-builder thunks, in DAG
+        order (the cheap native pairing math runs up front; the expensive
+        column fills are deferred per stage)."""
         apk = bls.g1_aggregate(pubkeys, bits)
         hm = h2c.hash_to_curve_g2(message)
         hm3 = (hm[0], hm[1], bls.FP2_ONE)
@@ -93,27 +100,47 @@ class AggregatePipeline:
         ml2 = bls.miller_loop(*bls.G1_GEN, *sig3)
         mu = bls.fp12_mul(ml1, ml2)
         fe = bls.fp12_final_exponentiate(mu)
-        traces = {
-            "ecc": self.airs["ecc"].generate_trace(pubkeys, bits),
-            "pp1": self.airs["pp"].generate_trace(*hm3),
-            "ml1": self.airs["ml"].generate_trace(neg_apk[0], neg_apk[1], coeffs1),
-            "pp2": self.airs["pp"].generate_trace(*sig3),
-            "ml2": self.airs["ml"].generate_trace(*bls.G1_GEN, coeffs2),
-            "fp12mul": self.airs["fp12mul"].generate_trace(ml1, ml2),
-            "finalexp": self.airs["finalexp"].generate_trace(mu),
+        builders = {
+            "ecc": lambda: self.airs["ecc"].generate_trace(pubkeys, bits),
+            "pp1": lambda: self.airs["pp"].generate_trace(*hm3),
+            "ml1": lambda: self.airs["ml"].generate_trace(neg_apk[0], neg_apk[1], coeffs1),
+            "pp2": lambda: self.airs["pp"].generate_trace(*sig3),
+            "ml2": lambda: self.airs["ml"].generate_trace(*bls.G1_GEN, coeffs2),
+            "fp12mul": lambda: self.airs["fp12mul"].generate_trace(ml1, ml2),
+            "finalexp": lambda: self.airs["finalexp"].generate_trace(mu),
         }
         summary = {"apk": apk, "hm": hm, "mu_is_one": fe == bls.FP12_ONE}
-        return traces, summary
+        return builders, summary
+
+    # how many stage traces may exist unproved at once in the pipelined
+    # prover (bounds host memory: the widest trace is ~0.4 GB)
+    _PIPELINE_AHEAD = 2
 
     def prove_aggregate(self, pubkeys, bits, message: bytes, signature) -> AggregateBundle:
-        traces, summary = self.build_traces(pubkeys, bits, message, signature)
+        """Prove all seven starks. Host trace generation is pipelined with
+        device proving: while the accelerator proves stage k, a worker
+        thread fills stage k+1's columns (the TPU analog of the reference's
+        'parallelize stark proof generation' future work, README.md:28 —
+        on one chip the device stays busy instead of idling through the
+        host fills; across hosts the same DAG splits per process)."""
+        builders, summary = self._trace_builders(pubkeys, bits, message, signature)
         if not summary["mu_is_one"]:
             raise ValueError("signature does not verify natively; refusing to prove")
+        from concurrent.futures import ThreadPoolExecutor
+
         proofs, publics = {}, {}
-        for stage in STAGES:
-            trace, pis = traces[stage]
-            proofs[stage] = self._prove(stage, trace, pis)
-            publics[stage] = pis
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = {}
+            queue = list(STAGES)
+            for stage in queue[: self._PIPELINE_AHEAD]:
+                pending[stage] = ex.submit(builders[stage])
+            for i, stage in enumerate(queue):
+                trace, pis = pending.pop(stage).result()
+                nxt = i + self._PIPELINE_AHEAD
+                if nxt < len(queue):
+                    pending[queue[nxt]] = ex.submit(builders[queue[nxt]])
+                proofs[stage] = self._prove(stage, trace, pis)
+                publics[stage] = pis
         return AggregateBundle(proofs=proofs, publics=publics, num_points=self.num_points)
 
     # -- verification ----------------------------------------------------

@@ -110,3 +110,44 @@ def test_full_trace_residuals(committee):
     assert summary["mu_is_one"]
     for stage, (trace, pis) in traces.items():
         assert_zero_residuals(pipeline._air_for(stage), trace, pis)
+
+
+def test_pipelined_prove_schedule(committee):
+    """The pipelined prover overlaps trace builds with proving but must
+    still prove every stage, in DAG order, each with its own trace."""
+    from starky_bls12_381_tpu.aggregate import STAGES
+
+    pubkeys, bits, message, signature = committee
+    events = []
+
+    class StubPipeline(AggregatePipeline):
+        def _trace_builders(self, *a):
+            builders, summary = super()._trace_builders(*a)
+
+            def wrap(stage):
+                def build():
+                    events.append(("build", stage))
+                    return (stage, ["pi", stage])
+
+                return build
+
+            return {s: wrap(s) for s in builders}, summary
+
+        def _prove(self, stage, trace, pis):
+            events.append(("prove", stage))
+            assert trace == stage and pis == ["pi", stage]
+            return f"proof:{stage}"
+
+    pipeline = StubPipeline(num_points=N, xp=np)
+    bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
+    assert [s for kind, s in events if kind == "prove"] == STAGES
+    assert [s for kind, s in events if kind == "build"] == STAGES
+    assert bundle.proofs == {s: f"proof:{s}" for s in STAGES}
+    assert bundle.publics == {s: ["pi", s] for s in STAGES}
+    # look-ahead bound: at no point are more than _PIPELINE_AHEAD builds
+    # outstanding beyond the proves completed
+    builds = proves = 0
+    for kind, _ in events:
+        builds += kind == "build"
+        proves += kind == "prove"
+        assert builds - proves <= pipeline._PIPELINE_AHEAD + 1
