@@ -333,11 +333,50 @@ class Ctx:
 # ---------------------------------------------------------------------------
 
 
+class ChunkedColumns:
+    """A (domain, C) matrix stored as a list of equal-width column chunks.
+
+    The TPU prover keeps the trace LDE as separate chunk buffers (the
+    streaming commit produces them and nothing ever needs the whole matrix
+    contiguously), so column gathers route through this wrapper instead of
+    forcing a multi-GB concatenation. Gather order is preserved exactly.
+    """
+
+    def __init__(self, xp, chunks):
+        self.xp = xp
+        self.chunks = list(chunks)
+        self.width = self.chunks[0].shape[1]
+        self.domain = self.chunks[0].shape[0]
+
+    def gather(self, flat_cols: np.ndarray):
+        """flat_cols: 1-D numpy int array -> (domain, len) array."""
+        if len(self.chunks) == 1:
+            return self.chunks[0][:, flat_cols]
+        cid = flat_cols // self.width
+        parts, perm = [], []
+        for i, ch in enumerate(self.chunks):
+            sel = np.nonzero(cid == i)[0]
+            if sel.size:
+                parts.append(ch[:, flat_cols[sel] - i * self.width])
+                perm.append(sel)
+        g = parts[0] if len(parts) == 1 else self.xp.concatenate(parts, axis=1)
+        perm = np.concatenate(perm)
+        if not np.array_equal(perm, np.arange(flat_cols.size)):
+            g = g[:, np.argsort(perm)]
+        return g
+
+
 class VectorAccessors:
     """Prover-style: matrices of shape (domain, C); gathers produce
-    uint64 arrays of shape idx.shape + (domain,)."""
+    uint64 arrays of shape idx.shape + (domain,).
 
-    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr):
+    Matrices may be arrays or `ChunkedColumns`. `next_mat`/`const_next_mat`
+    may be None with `next_roll` set: next-row values are then produced by
+    rolling each GATHERED column block by -next_roll along the domain axis
+    (LDE index i+blowup is the next trace row), which avoids materializing
+    a rolled copy of the full multi-GB LDE."""
+
+    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr, next_roll=None):
         self.xp = xp
         self._mats = {
             "local": local_mat,
@@ -346,15 +385,27 @@ class VectorAccessors:
             "const_next": const_next_mat,
         }
         self.pis = pis_arr
+        self.next_roll = next_roll
 
     def _gather(self, name, cols):
         mat = self._mats[name]
+        roll = 0
+        if mat is None:
+            mat = self._mats["local" if name == "next" else "const"]
+            roll = self.next_roll
         cols = np.asarray(cols)
-        if cols.ndim == 0:
-            return mat[:, int(cols)]
-        g = mat[:, cols.reshape(-1)]
+        scalar = cols.ndim == 0
+        flat = np.atleast_1d(cols).reshape(-1)
+        if isinstance(mat, ChunkedColumns):
+            g = mat.gather(flat)
+        else:
+            g = mat[:, flat]
+        if roll:
+            g = self.xp.roll(g, -roll, axis=0)
+        if scalar:
+            return g[:, 0]
         g = self.xp.moveaxis(g, 0, -1)
-        return g.reshape(tuple(cols.shape) + (mat.shape[0],))
+        return g.reshape(tuple(cols.shape) + (g.shape[-1],))
 
     def local(self, cols):
         return self._gather("local", cols)

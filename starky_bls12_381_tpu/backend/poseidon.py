@@ -271,6 +271,49 @@ def permute(state):
     return state
 
 
+def hash_row_segments(rows, kseg: int):
+    """Segment sponges over a (N, W) uint64 array with W = w*kseg*RATE
+    columns (an integer number of segments): returns (N, w, CAP) digests.
+
+    Each segment is an independent rate-8 overwrite-mode sponge over its
+    kseg*RATE contiguous columns; all N*w segment sponges advance together
+    as one batched permutation per absorb step. Because segments are
+    independent, a wide row can be committed in column CHUNKS (the prover's
+    streaming commit) and still produce digests identical to hashing the
+    whole row at once."""
+    xp = gl._xp(rows)
+    n, wcols = rows.shape
+    assert wcols % (kseg * RATE) == 0
+    w = wcols // (kseg * RATE)
+    # (kseg, N*w, RATE) chunk stream: segment sponges advance in lockstep
+    chunks = rows.reshape(n * w, kseg, RATE).transpose(1, 0, 2)
+    state = (chunks[0, :, :1] & xp.uint64(0)) + xp.zeros((n * w, WIDTH), dtype=xp.uint64)
+    if xp is np:
+        for i in range(kseg):
+            state = np.concatenate([chunks[i], state[:, RATE:]], axis=1)
+            state = permute(state)
+    else:
+        import jax
+
+        def body(st, chunk):
+            st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
+            return permute(st), None
+
+        state, _ = jax.lax.scan(body, state, chunks)
+    return state[:, :CAP].reshape(n, w, CAP)
+
+
+def fold_segment_digests(digs):
+    """(N, S, CAP) segment digests -> (N, CAP) leaf digests via the binary
+    compression tree (S a power of two), matching `hash_row_s`."""
+    n = digs.shape[0]
+    while digs.shape[1] > 1:
+        digs = compress_rows(
+            digs[:, 0::2].reshape(-1, CAP), digs[:, 1::2].reshape(-1, CAP)
+        ).reshape(n, digs.shape[1] // 2, CAP)
+    return digs[:, 0]
+
+
 def hash_rows(rows):
     """Hash each row of a (N, C) uint64 array to a (N, 4) digest array.
 
@@ -291,27 +334,7 @@ def hash_rows(rows):
         # variance inside shard_map (a plain zeros() is mesh-invariant)
         zero_col = rows[:, :1] & xp.uint64(0)
         rows = xp.concatenate([rows, xp.broadcast_to(zero_col, (n, pad))], axis=1)
-    # (kseg, N*S, RATE) chunk stream: segment sponges advance in lockstep
-    chunks = rows.reshape(n * s, kseg, RATE).transpose(1, 0, 2)
-    state = (chunks[0, :, :1] & xp.uint64(0)) + xp.zeros((n * s, WIDTH), dtype=xp.uint64)
-    if xp is np:
-        for i in range(kseg):
-            state = np.concatenate([chunks[i], state[:, RATE:]], axis=1)
-            state = permute(state)
-    else:
-        import jax
-
-        def body(st, chunk):
-            st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
-            return permute(st), None
-
-        state, _ = jax.lax.scan(body, state, chunks)
-    digs = state[:, :CAP].reshape(n, s, CAP)
-    while digs.shape[1] > 1:
-        digs = compress_rows(
-            digs[:, 0::2].reshape(-1, CAP), digs[:, 1::2].reshape(-1, CAP)
-        ).reshape(n, digs.shape[1] // 2, CAP)
-    return digs[:, 0]
+    return fold_segment_digests(hash_row_segments(rows, kseg))
 
 
 def hash_flat_tree_arr(arr):
@@ -343,21 +366,24 @@ def hash_flat_tree(arr) -> tuple:
 _host_jits: dict = {}
 
 
-def _host_fast(fn, *arrays):
+def _host_fast(fn, *arrays, key: str | None = None):
     """Run `fn` jit-compiled on the CPU backend (the host verifier's fast
     path for bulk hashing: a compiled lax.scan instead of millions of tiny
-    numpy dispatches). Falls back to plain numpy if no CPU backend."""
+    numpy dispatches). Falls back to plain numpy if no CPU backend.
+    `key` disambiguates the jit cache for closures whose captured shape
+    parameters differ; outputs (any pytree) come back as numpy."""
     import jax
 
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        return np.asarray(fn(*arrays))
-    key = fn.__name__
-    if key not in _host_jits:
-        _host_jits[key] = jax.jit(fn)
+        return jax.tree_util.tree_map(np.asarray, fn(*arrays))
+    k = key or fn.__name__
+    if k not in _host_jits:
+        _host_jits[k] = jax.jit(fn)
     with jax.default_device(cpu):
-        return np.asarray(_host_jits[key](*arrays))
+        out = _host_jits[k](*arrays)
+    return jax.tree_util.tree_map(np.asarray, out)
 
 
 def hash_rows_host_fast(rows: np.ndarray) -> np.ndarray:

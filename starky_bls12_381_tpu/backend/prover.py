@@ -3,22 +3,29 @@
 Pipeline (capability parity with starky's `prover::prove`, SURVEY.md §2.2,
 §3.2, re-architected for TPU/XLA):
 
-1. commit trace: per-column IFFT + coset LDE (NTT along rows, vectorized
-   across columns) + Poseidon row-hash (lax.scan) + batched Merkle layers;
+1. commit trace: STREAMING over column chunks aligned to the leaf hash's
+   segment layout — per-chunk IFFT + coset LDE + segment sponges — then one
+   digest-tree finalization. Peak device memory is the resident LDE chunks
+   plus ONE chunk of NTT temporaries, instead of several whole-trace
+   buffers (the round-1 design OOM'd the 16 GB v5e HBM on the 89k-column
+   miller-loop trace);
 2. constraint evaluation ONCE over the whole LDE domain as wide vector ops
-   (`BaseVectorAlgebra`), two parallel base-field alpha combinations
-   (64-bit field => num_challenges=2), filters including arbitrary
-   fixed-row Lagrange kernels; quotient = combination / Z_H;
+   (`BaseVectorAlgebra`) reading the chunk list through `ChunkedColumns`,
+   with next-row values produced by per-gather rolls (no rolled LDE copy);
+   quotient = alpha-combination / Z_H;
 3. quotient split into degree-n chunks and committed;
-4. DEEP openings at zeta (trace + quotient) and g*zeta (trace);
+4. DEEP openings at zeta (trace + quotient) and g*zeta (trace) computed
+   BARYCENTRICALLY from the resident LDE values (no retained coefficient
+   buffers), accumulated chunk-by-chunk;
 5. FRI: arity-2 folds with pair-leaf Merkle caps, final polynomial, device
-   PoW grinding, query rounds.
+   PoW grinding, query rounds gathered per chunk.
 
 Every stage between Fiat-Shamir interactions is a pure array function; on
 the jax backend each is `jax.jit`-compiled once per (air, config) and
 cached on the `StarkProver`, so proving is a handful of device dispatches
 instead of per-op round trips. The numpy backend runs the same code
-eagerly (used by tests and as the bit-exactness oracle).
+eagerly (used by tests and as the bit-exactness oracle) and produces
+bit-identical proofs.
 """
 
 from __future__ import annotations
@@ -28,7 +35,14 @@ import numpy as np
 from ..fields import goldilocks as gl
 from . import fri, merkle, ntt
 from . import poseidon as ps
-from .air import BaseVectorAlgebra, Ctx, DegreeAccessors, DegreeAlgebra, VectorAccessors
+from .air import (
+    BaseVectorAlgebra,
+    ChunkedColumns,
+    Ctx,
+    DegreeAccessors,
+    DegreeAlgebra,
+    VectorAccessors,
+)
 from .challenger import Challenger
 from .config import StarkConfig
 from .proof import FriProof, FriQueryRound, FriStep, StarkProof
@@ -114,6 +128,29 @@ def ext_powers(base, count: int) -> np.ndarray:
     return out
 
 
+def barycentric_weights(n0: int, pts: np.ndarray, zeta) -> np.ndarray:
+    """(n0, 2) ext weights w_i with f(zeta) = sum_i f(x_i) * w_i for any f
+    of degree < n0 over the coset domain x_i = SHIFT * w^i.
+
+    L_i(zeta) = Z(zeta) * x_i / (n0 * SHIFT^n0 * (zeta - x_i)) with
+    Z(x) = x^n0 - SHIFT^n0. This lets the prover open trace polynomials
+    straight from the resident LDE VALUES, so no (rows x cols) coefficient
+    buffer ever lives on device."""
+    sN = pow(SHIFT, n0, gl.P)
+    z_zeta = gl.ext_sub(gl.ext_pow(zeta, n0), (sN, 0))
+    scale = gl.ext_scalar_mul(z_zeta, gl.inv_s(n0 % gl.P * sN % gl.P))
+    d0 = gl.gl_sub(np.full(n0, np.uint64(zeta[0] % gl.P), dtype=np.uint64), pts)
+    d1 = np.full(n0, np.uint64(zeta[1] % gl.P), dtype=np.uint64)
+    # zeta must not land in the domain (prob ~ n0/p^2; the challenger can't
+    # be steered there without breaking Poseidon)
+    inv = gl.ext_inv_v((d0, d1))
+    w = gl.ext_mul_base_v(inv, pts)
+    s0 = np.full(n0, np.uint64(scale[0]), dtype=np.uint64)
+    s1 = np.full(n0, np.uint64(scale[1]), dtype=np.uint64)
+    w = gl.ext_mul_v(w, (s0, s1))
+    return np.stack([np.asarray(w[0]), np.asarray(w[1])], axis=1)
+
+
 def ext_dot_ext(weights: np.ndarray, values: np.ndarray):
     """Sum_j weights[j] * values[j], both (J, 2) ext arrays (host numpy)."""
     w0, w1 = weights[:, 0], weights[:, 1]
@@ -136,6 +173,10 @@ def check_pow(challenge: int, nonce: int, pow_bits: int) -> bool:
 class StarkProver:
     """Per-(air, config) prover with cached jitted stages."""
 
+    # streaming-commit chunk sizing: chunks are whole leaf segments; this
+    # bounds per-chunk LDE bytes (and so the NTT/hash temporary peak)
+    _CHUNK_BYTES = 256 << 20
+
     def __init__(self, air, config: StarkConfig, xp=None):
         if xp is None:
             import jax.numpy as jnp
@@ -153,6 +194,14 @@ class StarkProver:
             f"constraint degree needs rate_bits >= {max(self.factor, 1).bit_length() - 1}"
         )
         self.g = gl.primitive_root_of_unity(self.n.bit_length() - 1)
+
+        # streaming-commit chunk plan, aligned to the leaf hash's segments
+        _, self.segments, self.kseg = ps.leaf_plan(self.num_cols)
+        seg_cols = self.kseg * ps.RATE
+        target_cols = max(seg_cols, self._CHUNK_BYTES // (self.n0 * 8))
+        self.w_seg = max(1, min(self.segments, target_cols // seg_cols))
+        self.chunk_width = self.w_seg * seg_cols
+        self.num_chunks = -(-self.segments // self.w_seg)
 
         # discover the emission-ordered filter list via a degree pass
         dctx = Ctx(DegreeAlgebra(), DegreeAccessors())
@@ -211,23 +260,36 @@ class StarkProver:
     def _dev(self, arr):
         return arr if self.xp is np else self.xp.asarray(arr)
 
-    # -- stages ---------------------------------------------------------
-    # number of parallel host->device streams for wide-trace upload; the
-    # remote-TPU tunnel is per-stream bandwidth-limited (~5-20 MB/s), and
-    # ~32 concurrent transfers recover ~3-6x aggregate throughput
-    # (docs/PERF.md). Only engaged above _UPLOAD_SLAB_BYTES.
-    _UPLOAD_SLABS = 32
-    _UPLOAD_SLAB_BYTES = 64 << 20
+    def free_device_memory(self):
+        """Drop cached device buffers (uploaded trace chunks). Call between
+        proves of different statements when HBM is tight (aggregate DAG)."""
+        self._trace_dev_cache = None
 
-    def _upload_trace(self, trace_host: np.ndarray):
-        """Host->device trace transfer: slab-parallel for wide traces, with
-        a content-addressed single-entry cache so re-proving an unchanged
-        trace (retries, config sweeps, benchmarking) skips the transfer
-        entirely. The key is a full blake2b of the buffer — sound against
-        in-place mutation, and ~100x cheaper than the transfer itself."""
+    # -- trace upload (chunked, cached) ----------------------------------
+    def _upload_trace_chunks(self, trace_host: np.ndarray):
+        """Host->device transfer of the trace as padded column chunks
+        (chunk i covers columns [i*W, (i+1)*W), zero-padded past num_cols).
+        The chunk transfers are dispatched together so they overlap, and a
+        content-addressed single-entry cache skips re-uploading an
+        unchanged trace (retries, config sweeps, benchmarking). The key is
+        a full blake2b of the buffer — sound against in-place mutation and
+        ~100x cheaper than the transfer itself."""
+        W, nch = self.chunk_width, self.num_chunks
+        padded = W * nch
+
+        def chunk_host(i):
+            a, b = i * W, min((i + 1) * W, self.num_cols)
+            sl = trace_host[:, a:b]
+            if b - a < W:
+                out = np.zeros((self.n, W), dtype=trace_host.dtype)
+                out[:, : b - a] = sl
+                return out
+            return np.ascontiguousarray(sl)
+
         if self.xp is np:
-            return trace_host
-        if trace_host.nbytes >= self._UPLOAD_SLAB_BYTES:
+            return [chunk_host(i) for i in range(nch)]
+        key = None
+        if trace_host.nbytes >= (64 << 20):
             import hashlib
 
             key = hashlib.blake2b(
@@ -236,20 +298,11 @@ class StarkProver:
             cached = getattr(self, "_trace_dev_cache", None)
             if cached is not None and cached[0] == key:
                 return cached[1]
-        else:
-            key = None
-        if trace_host.nbytes < self._UPLOAD_SLAB_BYTES:
-            return self._dev(trace_host)
-        ns = min(self._UPLOAD_SLABS, trace_host.shape[1])
-        slabs = [np.ascontiguousarray(s) for s in np.array_split(trace_host, ns, axis=1)]
-        devs = [self._dev(s) for s in slabs]  # transfers proceed in parallel
-
-        def f(*xs):
-            return self.xp.concatenate(xs, axis=1)
-
-        dev = self._stage(f"concat_slabs_{ns}", f)(*devs)
-        self._trace_dev_cache = (key, dev)
-        return dev
+        assert padded >= self.num_cols
+        devs = [self._dev(chunk_host(i)) for i in range(nch)]  # async, overlapping
+        if key is not None:
+            self._trace_dev_cache = (key, devs)
+        return devs
 
     _DOWNLOAD_STREAMS = 16
     _DOWNLOAD_SLAB_BYTES = 16 << 20
@@ -280,23 +333,55 @@ class StarkProver:
             return ps.hash_rows_host_fast(rows)
         return ps.hash_rows(rows)
 
-    def _commit_trace(self, trace):
-        def f(tr32):
-            tr = tr32.astype(self.xp.uint64)
-            lde_, coeffs = ntt.lde(tr, self.config.rate_bits, SHIFT)
-            layers = merkle.build_layers(self._hash_rows(lde_), self.config.cap_height)
-            return lde_, coeffs, layers
+    # -- stages ---------------------------------------------------------
+    def _commit_trace_chunks(self, trace_chunks):
+        """Streaming commit: per chunk, widen -> IFFT -> coset LDE ->
+        segment sponges; then fold all segment digests into leaves and
+        build the Merkle layers. Returns (lde_chunks, layers)."""
+        xp = self.xp
+        kseg = self.kseg
 
-        return self._stage("commit_trace", f)(trace)
+        def commit_chunk(tr):
+            tr64 = tr.astype(np.uint64)
+            coeffs = ntt.interpolate(tr64)
+            lde_c = ntt.coset_evaluate(coeffs, self.n0, SHIFT)
+            return lde_c, ps.hash_row_segments(lde_c, kseg)
 
-    def _quotient(self, trace_lde, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
+        if xp is np:
+            # numpy oracle: route big chunks through the jax-CPU jit (the
+            # Poseidon absorb loop is ~10x faster compiled, bit-identical)
+            if trace_chunks[0].nbytes >= (1 << 22):
+                key = f"commit_chunk/{self.n0}/{kseg}/{self.chunk_width}"
+                stage = lambda chk: tuple(ps._host_fast(commit_chunk, chk, key=key))  # noqa: E731
+            else:
+                stage = commit_chunk
+        else:
+            stage = self._stage("commit_chunk", commit_chunk)
+        lde_chunks, seg_digs = [], []
+        for ch in trace_chunks:
+            lde_c, dig = stage(ch)
+            lde_chunks.append(lde_c)
+            seg_digs.append(dig)
+
+        def finalize(digs):
+            d = digs[0] if len(digs) == 1 else xp.concatenate(digs, axis=1)
+            d = d[:, : self.segments]  # drop all-pad segments of the last chunk
+            leaves = ps.fold_segment_digests(d)
+            return merkle.build_layers(leaves, self.config.cap_height)
+
+        if self.xp is np:
+            layers = finalize(tuple(seg_digs))
+        else:
+            layers = self._stage("finalize_leaves", finalize)(tuple(seg_digs))
+        return lde_chunks, layers
+
+    def _quotient(self, lde_chunks, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
         xp = self.xp
 
-        def f(lde_v, alphas, pis_a, filters_a, zh_inv, c_lde):
-            next_lde = xp.roll(lde_v, -self.blowup, axis=0)
-            c_next = xp.roll(c_lde, -self.blowup, axis=0)
+        def f(chunks, alphas, pis_a, filters_a, zh_inv, c_lde):
             alg = BaseVectorAlgebra(xp)
-            acc_ = VectorAccessors(xp, lde_v, next_lde, c_lde, c_next, pis_a)
+            local = ChunkedColumns(xp, chunks)
+            acc_ = VectorAccessors(xp, local, None, c_lde, None, pis_a, next_roll=self.blowup)
             ctx = Ctx(alg, acc_)
             self.air.eval(ctx)
             outs = []
@@ -312,7 +397,7 @@ class StarkProver:
                 outs.append(gl.gl_mul(acc, zh_inv))
             return xp.stack(outs, axis=1)  # (n0, nc)
 
-        return self._stage("quotient", f)(trace_lde, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
+        return self._stage("quotient", f)(tuple(lde_chunks), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
 
     def _commit_quotient(self, qv):
         n, factor = self.n, self.factor
@@ -344,34 +429,62 @@ class StarkProver:
         c0, c1 = self._stage("open_at", f)(coeffs, self._dev(pows))
         return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)
 
-    def _deep(self, trace_lde, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev):
+    def _open_lde(self, lde_chunks, weights) -> np.ndarray:
+        """Barycentric opening of every trace column straight from the
+        resident LDE chunks: (num_cols, 2) host array."""
+
+        def f(chunks, w):
+            outs0, outs1 = [], []
+            for ch in chunks:
+                outs0.append(gl.gl_sum(gl.gl_mul(ch, w[:, 0][:, None]), axis=0))
+                outs1.append(gl.gl_sum(gl.gl_mul(ch, w[:, 1][:, None]), axis=0))
+            cat = (lambda xs: xs[0]) if len(chunks) == 1 else (lambda xs: self.xp.concatenate(xs))
+            return cat(outs0), cat(outs1)
+
+        c0, c1 = self._stage("open_lde", f)(tuple(lde_chunks), self._dev(weights))
+        return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)[: self.num_cols]
+
+    def _deep(self, lde_chunks, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev):
+        """DEEP composition accumulated chunk-by-chunk; w1 covers the
+        padded trace columns then the quotient columns, w2 the padded
+        trace columns (pad weights hit all-zero pad LDE columns)."""
         xp = self.xp
 
-        def f(t_lde, ql, w1_a, w2_a, scalars, pts_a):
+        def f(chunks, ql, w1t, w1q, w2t, scalars, pts_a):
             r1z0, r1z1, r2z0, r2z1, z0, z1, zg0, zg1 = [scalars[i] for i in range(8)]
-            cols1 = xp.concatenate([t_lde, ql], axis=1)
-            r1 = (
-                gl.gl_sum(gl.gl_mul(cols1, w1_a[:, 0][None, :]), axis=1),
-                gl.gl_sum(gl.gl_mul(cols1, w1_a[:, 1][None, :]), axis=1),
-            )
-            r2 = (
-                gl.gl_sum(gl.gl_mul(t_lde, w2_a[:, 0][None, :]), axis=1),
-                gl.gl_sum(gl.gl_mul(t_lde, w2_a[:, 1][None, :]), axis=1),
-            )
-            num1 = (gl.gl_sub(r1[0], r1z0), gl.gl_sub(r1[1], r1z1))
+            W = chunks[0].shape[1]
+            r1_0 = r1_1 = r2_0 = r2_1 = xp.zeros((self.n0,), dtype=xp.uint64)
+            for i, ch in enumerate(chunks):
+                wa = w1t[i * W : (i + 1) * W]
+                wb = w2t[i * W : (i + 1) * W]
+                r1_0 = gl.gl_add(r1_0, gl.gl_sum(gl.gl_mul(ch, wa[:, 0][None, :]), axis=1))
+                r1_1 = gl.gl_add(r1_1, gl.gl_sum(gl.gl_mul(ch, wa[:, 1][None, :]), axis=1))
+                r2_0 = gl.gl_add(r2_0, gl.gl_sum(gl.gl_mul(ch, wb[:, 0][None, :]), axis=1))
+                r2_1 = gl.gl_add(r2_1, gl.gl_sum(gl.gl_mul(ch, wb[:, 1][None, :]), axis=1))
+            r1_0 = gl.gl_add(r1_0, gl.gl_sum(gl.gl_mul(ql, w1q[:, 0][None, :]), axis=1))
+            r1_1 = gl.gl_add(r1_1, gl.gl_sum(gl.gl_mul(ql, w1q[:, 1][None, :]), axis=1))
+            num1 = (gl.gl_sub(r1_0, r1z0), gl.gl_sub(r1_1, r1z1))
             den1 = (gl.gl_sub(pts_a, z0), xp.broadcast_to(gl.gl_neg(z1), pts_a.shape))
             f1 = gl.ext_mul_v(num1, gl.ext_inv_v(den1))
-            num2 = (gl.gl_sub(r2[0], r2z0), gl.gl_sub(r2[1], r2z1))
+            num2 = (gl.gl_sub(r2_0, r2z0), gl.gl_sub(r2_1, r2z1))
             den2 = (gl.gl_sub(pts_a, zg0), xp.broadcast_to(gl.gl_neg(zg1), pts_a.shape))
             f2 = gl.ext_mul_v(num2, gl.ext_inv_v(den2))
             out = gl.ext_add_v(f1, f2)
             return out[0], out[1]
 
+        padded = self.chunk_width * self.num_chunks
+        w1t = np.zeros((padded, 2), dtype=np.uint64)
+        w1t[: self.num_cols] = w1[: self.num_cols]
+        w1q = np.ascontiguousarray(w1[self.num_cols :])
+        w2t = np.zeros((padded, 2), dtype=np.uint64)
+        w2t[: self.num_cols] = w2
         scalars = np.asarray(
             [r1z[0], r1z[1], r2z[0], r2z[1], zeta[0], zeta[1], zeta_g[0], zeta_g[1]],
             dtype=np.uint64,
         )
-        return self._stage("deep", f)(trace_lde, q_lde, self._dev(w1), self._dev(w2), self._dev(scalars), pts_dev)
+        return self._stage("deep", f)(
+            tuple(lde_chunks), q_lde, self._dev(w1t), self._dev(w1q), self._dev(w2t), self._dev(scalars), pts_dev
+        )
 
     def _fri_commit_layer(self, values, layer: int):
         def f(v0, v1):
@@ -425,7 +538,6 @@ class StarkProver:
     def prove(self, trace: np.ndarray, pis) -> StarkProof:
         import time
 
-        xp = self.xp
         n, n0, num_cols = self.n, self.n0, self.num_cols
         config = self.config
         pis = [int(x) % gl.P for x in pis]
@@ -434,27 +546,30 @@ class StarkProver:
         self.timings = {}
         _t = [time.time()]
 
+        import os
+
+        verbose = os.environ.get("STARKY_VERBOSE") == "1"
+
         def mark(name):
             now = time.time()
             self.timings[name] = self.timings.get(name, 0.0) + now - _t[0]
+            if verbose:
+                print(f"[prove] {name}: {now - _t[0]:.2f}s", flush=True)
             _t[0] = now
 
         # 1. trace commitment — every BLS chip trace cell is a u32 limb/
         # carry/bit by construction, so those ship as uint32 (halves the
-        # dominant upload cost; widened on device). Airs with full-width
-        # cells (e.g. PoseidonAir) take the u64 path. Pass the trace
-        # already as uint32 to skip the 100s-of-MB host copy AND let the
-        # runtime's content/identity cache skip re-uploading an unchanged
-        # trace (the host->device transfer dominates warm proving of the
-        # wide airs; see docs/PERF.md).
+        # dominant upload cost; widened per chunk on device). Airs with
+        # full-width cells (e.g. PoseidonAir) take the u64 path. Commit
+        # streams over segment-aligned column chunks (see module doc).
         if trace.dtype == np.uint32:
             trace_host = trace
         elif int(trace.max(initial=0)) < (1 << 32):
             trace_host = trace.astype(np.uint32)
         else:
             trace_host = np.ascontiguousarray(trace, dtype=np.uint64)
-        trace_dev = self._upload_trace(trace_host)
-        trace_lde, trace_coeffs, trace_layers = self._commit_trace(trace_dev)
+        trace_chunks = self._upload_trace_chunks(trace_host)
+        lde_chunks, trace_layers = self._commit_trace_chunks(trace_chunks)
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
         mark("commit_trace")
@@ -469,7 +584,7 @@ class StarkProver:
             np.zeros(1, dtype=np.uint64)
         )
         qv = self._quotient(
-            trace_lde,
+            lde_chunks,
             self._dev(np.asarray(alphas, dtype=np.uint64)),
             pis_arr,
             self._dev(self.filters_np),
@@ -485,12 +600,12 @@ class StarkProver:
         zeta = ch.get_ext_challenge()
         zeta_g = gl.ext_scalar_mul(zeta, self.g)
 
-        # 3. openings
-        pows_z = ext_powers(zeta, n)
-        pows_zg = ext_powers(zeta_g, n)
-        trace_local = self._open_at(trace_coeffs, pows_z)
-        trace_next = self._open_at(trace_coeffs, pows_zg)
-        quotient_open = self._open_at(q_chunk_coeffs, pows_z)
+        # 3. openings — barycentric from resident LDE values
+        w_z = barycentric_weights(n0, self.pts_np, zeta)
+        w_zg = barycentric_weights(n0, self.pts_np, zeta_g)
+        trace_local = self._open_lde(lde_chunks, w_z)
+        trace_next = self._open_lde(lde_chunks, w_zg)
+        quotient_open = self._open_at(q_chunk_coeffs, ext_powers(zeta, n))
         self._observe_array_dev(ch, np.concatenate([trace_local, trace_next, quotient_open], axis=0))
 
         gamma = ch.get_ext_challenge()
@@ -504,7 +619,7 @@ class StarkProver:
         r1_zeta = ext_dot_ext(weights[:j1], open1.astype(np.uint64))
         r2_zetag = ext_dot_ext(weights[j1:], trace_next.astype(np.uint64))
         values = self._deep(
-            trace_lde, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g, self._dev(self.pts_np)
+            lde_chunks, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g, self._dev(self.pts_np)
         )
 
         mark("deep")
@@ -541,7 +656,8 @@ class StarkProver:
         mark("grinding")
 
         idx_dev = self._dev(np.asarray(indices, dtype=np.int64))
-        trace_rows = self._fetch(trace_lde[idx_dev])
+        row_parts = [self._fetch(chk[idx_dev]) for chk in lde_chunks]
+        trace_rows = np.concatenate(row_parts, axis=1)[:, :num_cols] if len(row_parts) > 1 else row_parts[0][:, :num_cols]
         q_rows = self._fetch(q_lde[idx_dev])
 
         query_rounds = []

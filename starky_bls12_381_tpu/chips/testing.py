@@ -27,7 +27,7 @@ def residuals(air, trace: np.ndarray, pis, use_jax: bool | None = None):
     const = np.asarray(const, dtype=np.uint64)
     pis_arr = np.asarray([int(x) for x in pis], dtype=np.uint64) if len(pis) else np.zeros(1, np.uint64)
     if use_jax is None:
-        use_jax = trace.size >= (1 << 24)
+        use_jax = trace.size >= (1 << 21)
 
     if use_jax:
         import jax
@@ -35,16 +35,23 @@ def residuals(air, trace: np.ndarray, pis, use_jax: bool | None = None):
 
         filts = [filt for filt, _d, _deg in _degree_constraints(air)]
 
-        def f(tr, const_a, pis_a):
-            nxt = jnp.roll(tr, -1, axis=0)
-            cnxt = jnp.roll(const_a, -1, axis=0)
-            ctx = Ctx(BaseVectorAlgebra(jnp), VectorAccessors(jnp, tr, nxt, const_a, cnxt, pis_a))
-            air.eval(ctx)
-            return [d for _f, d, _deg in ctx.constraints]
+        # one jit per air instance: tamper tests call residuals repeatedly
+        jitted = getattr(air, "_residuals_jit", None)
+        if jitted is None:
+
+            def f(tr, const_a, pis_a):
+                nxt = jnp.roll(tr, -1, axis=0)
+                cnxt = jnp.roll(const_a, -1, axis=0)
+                ctx = Ctx(BaseVectorAlgebra(jnp), VectorAccessors(jnp, tr, nxt, const_a, cnxt, pis_a))
+                air.eval(ctx)
+                return [d for _f, d, _deg in ctx.constraints]
+
+            jitted = jax.jit(f)
+            air._residuals_jit = jitted
 
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            outs = jax.jit(f)(jnp.asarray(trace), jnp.asarray(const), jnp.asarray(pis_arr))
+            outs = jitted(jnp.asarray(trace), jnp.asarray(const), jnp.asarray(pis_arr))
         return [(filt, np.asarray(d)) for filt, d in zip(filts, outs)]
 
     nxt = np.roll(trace, -1, axis=0)

@@ -206,7 +206,7 @@ def dryrun_multichip(n_devices: int) -> None:
     prover = StarkProver(air, config, xp=np)
     lde_ref, _ = ntt.lde(ptrace.astype(np.uint64), config.rate_bits, gl.GENERATOR)
     qv_ref = prover._quotient(
-        np.asarray(lde_ref),
+        [np.asarray(lde_ref)],
         np.asarray(alphas, dtype=np.uint64),
         np.asarray([int(x) % gl.P for x in ppis], dtype=np.uint64),
         prover.filters_np,

@@ -79,12 +79,15 @@ REG_NAMES = ["a", "t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9",
              "t29", "t30", "t31", "t23", "t26"]
 
 
-def _cycexp_ops():
-    """['sq', 'mul', ...] per native cyclotomic_exponent over BLS_X bits."""
+def _cycexp_ops(exp: int | None = None, bits: int | None = None):
+    """['sq', 'mul', ...] per native cyclotomic_exponent over the exponent
+    bits (default: the BLS x-parameter, matching native.rs:1300)."""
+    exp = bls.BLS_X if exp is None else exp
+    bits = bls.BLS_X_BITS if bits is None else bits
     ops = []
-    for i in reversed(range(bls.BLS_X_BITS)):
+    for i in reversed(range(bits)):
         ops.append("sq")
-        if (bls.BLS_X >> i) & 1:
+        if (exp >> i) & 1:
             ops.append("mul")
     return ops
 
@@ -99,7 +102,37 @@ class FinalExponentiateAir(Air):
     PIS_OUT = 144
     num_pis = 288
 
-    def __init__(self):
+    def __init__(self, steps=None, cyc_exp=None, cyc_bits=None):
+        """Default: the full 32-step final-exponentiation addition chain
+        (final_exponentiate.rs:240-279). `steps`/`cyc_exp`/`cyc_bits` allow
+        REDUCED schedules (same gadgets, wiring, and overlay machinery on a
+        small row count) so CI can prove+verify this air fast; the
+        default instance is what production and the TPU bench use."""
+        self._steps = STEPS if steps is None else steps
+        self._cyc_args = (cyc_exp, cyc_bits)
+        self.out_name = self._steps[-1][1]
+        if steps is not None:
+            # derive register set + a power-of-two row count
+            names = ["a"]
+            for _k, out, ins, _p in self._steps:
+                for nm in list(ins) + [out]:
+                    if nm not in names:
+                        names.append(nm)
+            self._reg_names = names
+            rows = 0
+            for kind, _out, _ins, _p in self._steps:
+                if kind in ("frob", "mul", "mulcheck", "cycsq"):
+                    rows += 12
+                elif kind == "cycexp":
+                    k, w = 0, 0
+                    ops = _cycexp_ops(cyc_exp, cyc_bits)
+                    while k < len(ops):
+                        k += 2 if (ops[k] == "sq" and k + 1 < len(ops) and ops[k + 1] == "sq") else 1
+                        w += 1
+                    rows += 12 * w
+            self.num_rows = 1 << max(4, (max(rows, 1) - 1).bit_length())
+        else:
+            self._reg_names = REG_NAMES
         cb = ChipBuilder(self.num_rows)
         self.cb = cb
 
@@ -121,8 +154,8 @@ class FinalExponentiateAir(Air):
         cycexp_io = []  # (base_name, out_name, first_row0, first_kind, last_row0, last_kind)
         self.fill_plan = []  # ordered fill instructions
 
-        cyc_ops = _cycexp_ops()
-        for kind, out, ins, pw in STEPS:
+        cyc_ops = _cycexp_ops(*self._cyc_args)
+        for kind, out, ins, pw in self._steps:
             if kind == "frob":
                 r0 = alloc_window()
                 (frob_windows_odd if pw % 2 else frob_windows_even).append((r0, pw, ins[0], out))
@@ -175,26 +208,28 @@ class FinalExponentiateAir(Air):
         assert self.rows_used <= self.num_rows, f"{self.rows_used} rows > {self.num_rows}"
 
         # ---- 2. registers ---------------------------------------------
-        self.regs = {name: cb.wit.take(144) for name in REG_NAMES}
+        self.regs = {name: cb.wit.take(144) for name in self._reg_names}
         pin_rows = frozenset(range(self.rows_used - 1))
         for name, col in self.regs.items():
             RegPinGadget(cb, col, 144, pin_rows)
         cb.bind_pi({0}, self.regs["a"], self.PIS_IN, 144)
-        cb.bind_pi({0}, self.regs["t31"], self.PIS_OUT, 144)
+        cb.bind_pi({0}, self.regs[self.out_name], self.PIS_OUT, 144)
 
         # ---- 3. op-region gadgets (overlaid columns) -------------------
         mul_row0s = [w[0] for w in mul_windows]
         sqA_row0s = [w[0] for w in sq1_windows] + sq2_windows
         sqB_row0s = list(sq2_windows)
         cb.begin_overlay()
-        self.mul = Fp12MulGadget(cb, sorted(mul_row0s))
+        self.mul = Fp12MulGadget(cb, sorted(mul_row0s)) if mul_row0s else None
         cb.next_variant()
-        self.sqA = CyclotomicSquareGadget(cb, sorted(sqA_row0s))
-        self.sqB = CyclotomicSquareGadget(cb, sorted(sqB_row0s))
+        self.sqA = CyclotomicSquareGadget(cb, sorted(sqA_row0s)) if sqA_row0s else None
+        self.sqB = CyclotomicSquareGadget(cb, sorted(sqB_row0s)) if sqB_row0s else None
         cb.next_variant()
-        self.frob_e = Fp12FrobeniusGadget(cb, [(r, p) for r, p, _, _ in frob_windows_even])
+        evens = [(r, p) for r, p, _, _ in frob_windows_even]
+        self.frob_e = Fp12FrobeniusGadget(cb, evens) if evens else None
         cb.next_variant()
-        self.frob_o = Fp12FrobeniusGadget(cb, [(r, p) for r, p, _, _ in frob_windows_odd])
+        odds = [(r, p) for r, p, _, _ in frob_windows_odd]
+        self.frob_o = Fp12FrobeniusGadget(cb, odds) if odds else None
         cb.end_overlay()
 
         # conjugation negations (all at row 0)
@@ -251,12 +286,15 @@ class FinalExponentiateAir(Air):
 
         # ---- 5. chain boundary selectors -------------------------------
         self._chain = []
-        in_mats = {"A": _colmat12(self.sqA.a), "M": _colmat12(self.mul.a)}
-        out_mats = {
-            "A": _colmat12(self.sqA.out),
-            "B": _colmat12(self.sqB.out),
-            "M": _colmat12(self.mul.out),
-        }
+        in_mats, out_mats = {}, {}
+        if self.sqA is not None:
+            in_mats["A"] = _colmat12(self.sqA.a)
+            out_mats["A"] = _colmat12(self.sqA.out)
+        if self.sqB is not None:
+            out_mats["B"] = _colmat12(self.sqB.out)
+        if self.mul is not None:
+            in_mats["M"] = _colmat12(self.mul.a)
+            out_mats["M"] = _colmat12(self.mul.out)
         for (pk, ck), rows in sorted(chain_bounds.items()):
             sel = cb.indicator(frozenset(rows))
             self._chain.append((sel, out_mats[pk], in_mats[ck]))
@@ -298,11 +336,11 @@ class FinalExponentiateAir(Air):
             elif kind == "mul":
                 _, r0, a_name, b_name, out, is_check = item
                 if is_check:
-                    # witness t1 = t0 / a, check t1 * a == t0
-                    t1 = bls.fp12_mul(vals["t0"], bls.fp12_inv(vals["a"]))
-                    set_reg("t1", t1)
-                    prod = self.mul.fill(trace, r0, t1, vals["a"])
-                    assert prod == vals["t0"]
+                    # witness a_name = out / b_name, check a_name * b_name == out
+                    wit = bls.fp12_mul(vals[out], bls.fp12_inv(vals[b_name]))
+                    set_reg(a_name, wit)
+                    prod = self.mul.fill(trace, r0, wit, vals[b_name])
+                    assert prod == vals[out]
                 else:
                     set_reg(out, self.mul.fill(trace, r0, vals[a_name], vals[b_name]))
             elif kind == "sq_step":
@@ -331,7 +369,7 @@ class FinalExponentiateAir(Air):
                 _, r0, last_kind, out = item
                 set_reg(out, z)
                 z = None
-        pis = fp12_to_pis(a) + fp12_to_pis(vals["t31"])
-        expect = bls.fp12_final_exponentiate(a)
-        assert vals["t31"] == expect
+        pis = fp12_to_pis(a) + fp12_to_pis(vals[self.out_name])
+        if self._steps is STEPS:
+            assert vals["t31"] == bls.fp12_final_exponentiate(a)
         return trace, pis

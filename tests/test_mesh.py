@@ -42,7 +42,7 @@ def test_shard_quotient_matches_single_chip_on_merkle_air():
     prover = StarkProver(air, config, xp=np)
     lde_ref, _ = ntt.lde(trace.astype(np.uint64), config.rate_bits, gl.GENERATOR)
     qv_ref = prover._quotient(
-        np.asarray(lde_ref),
+        [np.asarray(lde_ref)],
         np.asarray([7, 11], dtype=np.uint64),
         np.asarray([int(x) % gl.P for x in pis], dtype=np.uint64),
         prover.filters_np,
