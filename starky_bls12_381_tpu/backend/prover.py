@@ -265,17 +265,25 @@ class StarkProver:
         proves of different statements when HBM is tight (aggregate DAG)."""
         self._trace_dev_cache = None
 
+    # number of parallel host->device streams for wide-trace upload; the
+    # remote-TPU tunnel is per-stream bandwidth-limited (~5-20 MB/s), and
+    # ~32 concurrent transfers recover ~3-6x aggregate throughput
+    # (docs/PERF.md). Only engaged above _UPLOAD_SLAB_BYTES.
+    _UPLOAD_SLABS = 32
+    _UPLOAD_SLAB_BYTES = 64 << 20
+
     # -- trace upload (chunked, cached) ----------------------------------
     def _upload_trace_chunks(self, trace_host: np.ndarray):
         """Host->device transfer of the trace as padded column chunks
         (chunk i covers columns [i*W, (i+1)*W), zero-padded past num_cols).
-        The chunk transfers are dispatched together so they overlap, and a
-        content-addressed single-entry cache skips re-uploading an
-        unchanged trace (retries, config sweeps, benchmarking). The key is
-        a full blake2b of the buffer — sound against in-place mutation and
-        ~100x cheaper than the transfer itself."""
+        Wide traces ship as ~32 column slabs dispatched together (the
+        tunnel is per-stream limited; parallel slabs recover the aggregate
+        bandwidth), reassembled into chunks on device. A content-addressed
+        single-entry cache skips re-uploading an unchanged trace (retries,
+        config sweeps, benchmarking); the key is a full blake2b of the
+        buffer — sound against in-place mutation and ~100x cheaper than
+        the transfer itself."""
         W, nch = self.chunk_width, self.num_chunks
-        padded = W * nch
 
         def chunk_host(i):
             a, b = i * W, min((i + 1) * W, self.num_cols)
@@ -298,8 +306,26 @@ class StarkProver:
             cached = getattr(self, "_trace_dev_cache", None)
             if cached is not None and cached[0] == key:
                 return cached[1]
-        assert padded >= self.num_cols
-        devs = [self._dev(chunk_host(i)) for i in range(nch)]  # async, overlapping
+        if trace_host.nbytes < self._UPLOAD_SLAB_BYTES:
+            devs = [self._dev(chunk_host(i)) for i in range(nch)]
+        else:
+            # per chunk: split into slabs, dispatch ALL slab transfers
+            # up-front (async, overlapping streams), then concat on device
+            ns = max(1, self._UPLOAD_SLABS // nch)
+            slab_sets = []
+            for i in range(nch):
+                ch = chunk_host(i)
+                slabs = [np.ascontiguousarray(s) for s in np.array_split(ch, ns, axis=1)]
+                slab_sets.append([self._dev(s) for s in slabs])
+
+            def f(*xs):
+                return self.xp.concatenate(xs, axis=1)
+
+            if ns == 1:
+                devs = [s[0] for s in slab_sets]
+            else:
+                stage = self._stage(f"concat_slabs_{ns}", f)
+                devs = [stage(*slabs) for slabs in slab_sets]
         if key is not None:
             self._trace_dev_cache = (key, devs)
         return devs

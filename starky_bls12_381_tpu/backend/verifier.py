@@ -46,6 +46,82 @@ def _req(cond, msg):
         raise VerificationError(msg)
 
 
+def derive_challenges(air, proof: StarkProof, pis, config: StarkConfig) -> dict:
+    """Replay the Fiat-Shamir transcript over the proof's PUBLIC part
+    (caps, openings, final poly, nonce) and return every derived value.
+    Shared by the plain verifier and the recursive-verification layer
+    (starks/recursive_verifier.py), which keeps transcript replay native."""
+    n = air.num_rows
+    n0 = n * config.blowup
+    ch = Challenger()
+    ch.observe_array(np.asarray([int(x) % gl.P for x in pis], dtype=np.uint64))
+    ch.observe_cap(proof.trace_cap)
+    alphas = ch.get_challenges(config.num_challenges)
+    ch.observe_cap(proof.quotient_cap)
+    zeta = ch.get_ext_challenge()
+    g = gl.primitive_root_of_unity(n.bit_length() - 1)
+    ch.observe_array(
+        np.concatenate([proof.trace_local, proof.trace_next, proof.quotient_open], axis=0)
+    )
+    gamma = ch.get_ext_challenge()
+    betas = []
+    for cap in proof.fri.layer_caps:
+        ch.observe_cap(cap)
+        betas.append(ch.get_ext_challenge())
+    ch.observe_array(proof.fri.final_coeffs)
+    pow_challenge = ch.get_challenge()
+    ch.observe(proof.fri.pow_nonce)
+    indices = ch.get_indices(config.num_queries, n0)
+    return {
+        "alphas": alphas,
+        "zeta": zeta,
+        "zeta_g": gl.ext_scalar_mul(zeta, g),
+        "gamma": gamma,
+        "betas": betas,
+        "pow_challenge": pow_challenge,
+        "indices": indices,
+    }
+
+
+def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, alphas, zeta) -> None:
+    """The quotient identity at zeta: re-runs air.eval through the
+    ext-scalar algebra against the opened values. Raises on mismatch."""
+    n = air.num_rows
+    factor = air.quotient_degree_factor()
+    alg = ExtScalarAlgebra()
+    t_local = np.asarray(proof.trace_local, dtype=np.uint64).astype(object)
+    t_next = np.asarray(proof.trace_next, dtype=np.uint64).astype(object)
+    zeta_g = gl.ext_scalar_mul(zeta, gl.primitive_root_of_unity(n.bit_length() - 1))
+    const = air.constant_columns()
+    if const is not None:
+        c_coeffs = ntt.interpolate(np.asarray(const, dtype=np.uint64))
+        c_zeta = _eval_cols_at(c_coeffs, zeta)
+        c_zeta_g = _eval_cols_at(c_coeffs, zeta_g)
+    else:
+        c_zeta = c_zeta_g = np.zeros((1, 2), dtype=object)
+    ctx = Ctx(alg, ScalarAccessors(t_local, t_next, c_zeta, c_zeta_g, [int(x) % gl.P for x in pis]))
+    air.eval(ctx)
+    zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
+    filt_cache = {}
+    for ci, alpha in enumerate(alphas):
+        acc = gl.EXT_ZERO
+        for filt, data, _deg in reversed(ctx.constraints):
+            grp, nrows = alg.combine_rows(data, alpha)
+            if filt not in filt_cache:
+                filt_cache[filt] = filter_at_point(filt, n, zeta)
+            if filt[0] != "every":
+                grp = gl.ext_mul(grp, filt_cache[filt])
+            acc = gl.ext_add(gl.ext_scalar_mul(acc, pow(alpha, nrows, gl.P)), grp)
+        zn = gl.ext_pow(zeta, n)
+        q_sum = gl.EXT_ZERO
+        zpow = gl.EXT_ONE
+        for k in range(factor):
+            q_k = (int(proof.quotient_open[ci * factor + k, 0]), int(proof.quotient_open[ci * factor + k, 1]))
+            q_sum = gl.ext_add(q_sum, gl.ext_mul(zpow, q_k))
+            zpow = gl.ext_mul(zpow, zn)
+        _req(gl.ext_mul(q_sum, zh_zeta) == acc, f"quotient identity failed (challenge {ci})")
+
+
 def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | None = None) -> None:
     """Raises VerificationError on any failure; returns None on success."""
     import time as _time
@@ -70,70 +146,19 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     _req(proof.trace_local.shape[0] == num_cols, "bad trace opening count")
 
     # ---- transcript --------------------------------------------------
-    ch = Challenger()
-    ch.observe_array(np.asarray(pis, dtype=np.uint64))
-    ch.observe_cap(proof.trace_cap)
-    alphas = ch.get_challenges(config.num_challenges)
-    ch.observe_cap(proof.quotient_cap)
-    zeta = ch.get_ext_challenge()
-    g = gl.primitive_root_of_unity(n.bit_length() - 1)
-    zeta_g = gl.ext_scalar_mul(zeta, g)
-    ch.observe_array(
-        np.concatenate([proof.trace_local, proof.trace_next, proof.quotient_open], axis=0)
-    )
-    gamma = ch.get_ext_challenge()
     num_folds = config.fri_num_folds(n0)
     _req(len(proof.fri.layer_caps) == num_folds, "bad FRI layer count")
-    betas = []
-    for cap in proof.fri.layer_caps:
-        ch.observe_cap(cap)
-        betas.append(ch.get_ext_challenge())
     final_len = (n0 >> num_folds) // blowup
     _req(proof.fri.final_coeffs.shape[0] == final_len, "bad final poly length")
-    ch.observe_array(proof.fri.final_coeffs)
-    pow_challenge = ch.get_challenge()
-    _req(check_pow(pow_challenge, proof.fri.pow_nonce, config.pow_bits), "bad grinding witness")
-    ch.observe(proof.fri.pow_nonce)
-    indices = ch.get_indices(config.num_queries, n0)
+    d = derive_challenges(air, proof, pis, config)
+    alphas, zeta, zeta_g, gamma, betas = d["alphas"], d["zeta"], d["zeta_g"], d["gamma"], d["betas"]
+    indices = d["indices"]
+    _req(check_pow(d["pow_challenge"], proof.fri.pow_nonce, config.pow_bits), "bad grinding witness")
     _req([qr.index for qr in proof.fri.query_rounds] == indices, "query indices mismatch")
     _mark("transcript")
 
     # ---- quotient identity at zeta ----------------------------------
-    alg = ExtScalarAlgebra()
-    t_local = np.asarray(proof.trace_local, dtype=np.uint64).astype(object)
-    t_next = np.asarray(proof.trace_next, dtype=np.uint64).astype(object)
-
-    const = air.constant_columns()
-    if const is not None:
-        c_coeffs = ntt.interpolate(np.asarray(const, dtype=np.uint64))
-        c_zeta = _eval_cols_at(c_coeffs, zeta)
-        c_zeta_g = _eval_cols_at(c_coeffs, zeta_g)
-    else:
-        c_zeta = c_zeta_g = np.zeros((1, 2), dtype=object)
-
-    ctx = Ctx(alg, ScalarAccessors(t_local, t_next, c_zeta, c_zeta_g, pis))
-    air.eval(ctx)
-
-    zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
-    filt_cache = {}
-    for ci, alpha in enumerate(alphas):
-        acc = gl.EXT_ZERO
-        for filt, data, _deg in reversed(ctx.constraints):
-            grp, nrows = alg.combine_rows(data, alpha)
-            if filt not in filt_cache:
-                filt_cache[filt] = filter_at_point(filt, n, zeta)
-            if filt[0] != "every":
-                grp = gl.ext_mul(grp, filt_cache[filt])
-            acc = gl.ext_add(gl.ext_scalar_mul(acc, pow(alpha, nrows, gl.P)), grp)
-        # sum_k zeta^{nk} * Q_{ci,k}(zeta)
-        zn = gl.ext_pow(zeta, n)
-        q_sum = gl.EXT_ZERO
-        zpow = gl.EXT_ONE
-        for k in range(factor):
-            q_k = (int(proof.quotient_open[ci * factor + k, 0]), int(proof.quotient_open[ci * factor + k, 1]))
-            q_sum = gl.ext_add(q_sum, gl.ext_mul(zpow, q_k))
-            zpow = gl.ext_mul(zpow, zn)
-        _req(gl.ext_mul(q_sum, zh_zeta) == acc, f"quotient identity failed (challenge {ci})")
+    check_quotient_identity(air, proof, pis, config, alphas, zeta)
     _mark("quotient_identity")
 
     # ---- DEEP / FRI queries -----------------------------------------
