@@ -112,8 +112,9 @@ class AggregatePipeline:
         summary = {"apk": apk, "hm": hm, "mu_is_one": fe == bls.FP12_ONE}
         return builders, summary
 
-    # how many stage traces may exist unproved at once in the pipelined
-    # prover (bounds host memory: the widest trace is ~0.4 GB)
+    # pipelined-prover look-ahead depth: up to _PIPELINE_AHEAD+1 stage
+    # traces coexist unproved (the one being proved plus the look-ahead
+    # builds; ~1.2 GB peak host memory at the widest traces)
     _PIPELINE_AHEAD = 2
 
     def prove_aggregate(self, pubkeys, bits, message: bytes, signature) -> AggregateBundle:
@@ -129,7 +130,8 @@ class AggregatePipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         proofs, publics = {}, {}
-        with ThreadPoolExecutor(max_workers=1) as ex:
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
             pending = {}
             queue = list(STAGES)
             for stage in queue[: self._PIPELINE_AHEAD]:
@@ -141,6 +143,10 @@ class AggregatePipeline:
                     pending[queue[nxt]] = ex.submit(builders[queue[nxt]])
                 proofs[stage] = self._prove(stage, trace, pis)
                 publics[stage] = pis
+        finally:
+            # don't wait out in-flight trace builds (minutes of host fill)
+            # when a prove fails — surface the error promptly
+            ex.shutdown(wait=False, cancel_futures=True)
         return AggregateBundle(proofs=proofs, publics=publics, num_points=self.num_points)
 
     # -- verification ----------------------------------------------------

@@ -36,9 +36,25 @@ def load_input(path: str):
         pubkeys = [cz.g1_decompress(bytes.fromhex(h.removeprefix("0x"))) for h in data["pubkeys_hex"]]
         signature = cz.g2_decompress(bytes.fromhex(data["signature_hex"].removeprefix("0x")))
     else:
+        # decimal affine input: enforce the same validity the compressed
+        # path gets from decompression (on-curve + prime-order subgroup,
+        # matching the reference's in-circuit pk_point_check /
+        # signature_point_check, g1_plonky2.rs:11-56 / g2_plonky2.rs:241-302)
+        from .fields import bls12_381 as bls
+        from .fields import compression as cz
+
         pubkeys = [(int(x), int(y)) for x, y in data["pubkeys"]]
+        for i, p in enumerate(pubkeys):
+            if not bls.g1_is_on_curve(p):
+                raise ValueError(f"pubkey {i} is not on the G1 curve")
+            if not cz.g1_subgroup_check(p):
+                raise ValueError(f"pubkey {i} is not in the prime-order G1 subgroup")
         sx, sy = data["signature"]
         signature = ((int(sx[0]), int(sx[1])), (int(sy[0]), int(sy[1])))
+        if not bls.g2_is_on_curve(signature):
+            raise ValueError("signature is not on the G2 curve")
+        if not cz.g2_subgroup_check(signature):
+            raise ValueError("signature is not in the prime-order G2 subgroup")
     bits = [int(b) for b in data["bits"]]
     message = bytes.fromhex(data["message_hex"])
     return data.get("num_points", len(pubkeys)), pubkeys, bits, message, signature

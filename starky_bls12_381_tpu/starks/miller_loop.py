@@ -65,21 +65,29 @@ class MillerLoopAir(Air):
     PIS_PX = 0
     PIS_PY = 12
     PIS_ELL = 24
-    PIS_RES = 24 + NUM_BLOCKS * 72
-    num_pis = PIS_RES + 144
 
-    def __init__(self):
+    def __init__(self, num_blocks: int = NUM_BLOCKS):
+        """Default: the full 68-block Miller loop (miller_loop.rs:87-146).
+        A smaller `num_blocks` builds a truncated-schedule variant through
+        the identical gadgets/wiring on a small row count, so CI can
+        prove+verify this air fast (the full air proves under RUN_SLOW
+        and in the TPU bench)."""
+        self.nb = num_blocks
+        self.PIS_RES = 24 + num_blocks * 72
+        self.num_pis = self.PIS_RES + 144
+        if num_blocks != NUM_BLOCKS:
+            self.num_rows = 1 << max(5, (12 * num_blocks - 1).bit_length())
         cb = ChipBuilder(self.num_rows)
         self.cb = cb
-        self.schedule = _block_schedule()
-        row0s = [12 * j for j in range(NUM_BLOCKS)]
+        self.schedule = _block_schedule()[:num_blocks]
+        row0s = [12 * j for j in range(num_blocks)]
         self.row0s = row0s
-        last_r11 = 12 * (NUM_BLOCKS - 1) + 11
+        last_r11 = 12 * (num_blocks - 1) + 11
 
         # Px / Py registers, constant across the active region
         self.px = cb.wit.take(12)
         self.py = cb.wit.take(12)
-        active_rows = frozenset(range(12 * NUM_BLOCKS - 1))
+        active_rows = frozenset(range(12 * num_blocks - 1))
         RegPinGadget(cb, self.px, 12, active_rows)
         RegPinGadget(cb, self.py, 12, active_rows)
         cb.bind_pi({0}, self.px, self.PIS_PX, 12)
@@ -99,7 +107,7 @@ class MillerLoopAir(Air):
             cb.wire(r11s, d, s, 12)
 
         # per-block coefficient PI bindings (a0/a1 of O1, O4 and o0 of 014)
-        for j in range(NUM_BLOCKS):
+        for j in range(num_blocks):
             base = self.PIS_ELL + 72 * j
             cb.bind_pi({12 * j}, self.mul014.o0[0], base, 12)
             cb.bind_pi({12 * j}, self.mul014.o0[1], base + 12, 12)
@@ -116,10 +124,10 @@ class MillerLoopAir(Air):
         # boundary chaining: next block's F12 input = mul014 out (bit-1
         # continuation) or square out (bit advance)
         rows_b1 = frozenset(
-            12 * j + 11 for j in range(NUM_BLOCKS - 1) if self.schedule[j + 1][0]
+            12 * j + 11 for j in range(num_blocks - 1) if self.schedule[j + 1][0]
         )
         rows_sq = frozenset(
-            12 * j + 11 for j in range(NUM_BLOCKS - 1) if not self.schedule[j + 1][0]
+            12 * j + 11 for j in range(num_blocks - 1) if not self.schedule[j + 1][0]
         )
         self.sel_b1 = cb.indicator(rows_b1)
         self.sel_sq = cb.indicator(rows_sq)
@@ -156,12 +164,12 @@ class MillerLoopAir(Air):
     def generate_trace(self, px: int, py: int, ell_coeffs):
         """px, py: G1 point; ell_coeffs: 68 [c0, c1, c2] Fp2 triples.
         Returns (trace, pis)."""
-        assert len(ell_coeffs) == NUM_BLOCKS
+        assert len(ell_coeffs) == self.nb
         trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
         put_rows(trace, 0, self.px,
-                 np.broadcast_to(limbs.to_limbs(px), (12 * NUM_BLOCKS, 12)))
+                 np.broadcast_to(limbs.to_limbs(px), (12 * self.nb, 12)))
         put_rows(trace, 0, self.py,
-                 np.broadcast_to(limbs.to_limbs(py), (12 * NUM_BLOCKS, 12)))
+                 np.broadcast_to(limbs.to_limbs(py), (12 * self.nb, 12)))
         f12 = bls.FP12_ONE
         for j, e in enumerate(ell_coeffs):
             r0 = 12 * j
@@ -169,10 +177,10 @@ class MillerLoopAir(Air):
             o4v = self.o4.fill(trace, r0, e[2], py)
             f12 = self.mul014.fill(trace, r0, f12, e[0], o1v, o4v)
             sqv = self.sq.fill(trace, r0, f12, f12)
-            if j < NUM_BLOCKS - 1 and not self.schedule[j + 1][0]:
+            if j < self.nb - 1 and not self.schedule[j + 1][0]:
                 f12 = sqv
         assert all(x != 0 for fp2 in f12[1] for x in fp2), "zero c1 component"
-        self.neg.fill(trace, 12 * (NUM_BLOCKS - 1) + 11, f12[1])
+        self.neg.fill(trace, 12 * (self.nb - 1) + 11, f12[1])
         res = bls.fp12_conjugate(f12)
         pis = (
             [int(x) for x in limbs.to_limbs(px)]

@@ -70,6 +70,25 @@ def test_wrong_coeff_caught(air, data):
 slow = pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="RUN_SLOW not set")
 
 
+def test_truncated_prove_verify(data):
+    """End-to-end prove+verify of the ML machinery in CI: a 3-block
+    truncated schedule through the identical gadgets/wiring (the full
+    68-block air proves under RUN_SLOW and in the TPU bench)."""
+    px, py, coeffs = data
+    air2 = MillerLoopAir(num_blocks=3)  # 3 = smallest with full-density F12
+    assert air2.num_rows == 64
+    trace, pis = air2.generate_trace(px, py, coeffs[:3])
+    assert_zero_residuals(air2, trace, pis)
+    config = StarkConfig(rate_bits=1, pow_bits=8, num_queries=28)
+    proof = prove(air2, trace, pis, config, xp=np)
+    verify(air2, proof, pis, config)
+    for pi_idx in (air2.PIS_RES + 7, air2.PIS_ELL + 3, air2.PIS_PX + 1):
+        bad = list(pis)
+        bad[pi_idx] = (bad[pi_idx] + 1) % (1 << 32)
+        with pytest.raises(VerificationError):
+            verify(air2, proof, bad, config)
+
+
 @slow
 def test_prove_verify(air, data):
     px, py, coeffs = data
