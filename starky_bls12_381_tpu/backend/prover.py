@@ -165,6 +165,14 @@ def check_pow(challenge: int, nonce: int, pow_bits: int) -> bool:
     return ps.permute_s(state)[0] >> (64 - pow_bits) == 0
 
 
+def _chunk_list(chunks):
+    """Normalize LDE chunks: a list/tuple of (n0, W) arrays or a stacked
+    (nch, n0, W) array (the SPMD mesh path) -> list of (n0, W) arrays."""
+    if isinstance(chunks, (list, tuple)):
+        return list(chunks)
+    return [chunks[i] for i in range(chunks.shape[0])]
+
+
 # ---------------------------------------------------------------------------
 # the prover
 # ---------------------------------------------------------------------------
@@ -177,7 +185,15 @@ class StarkProver:
     # bounds per-chunk LDE bytes (and so the NTT/hash temporary peak)
     _CHUNK_BYTES = 256 << 20
 
-    def __init__(self, air, config: StarkConfig, xp=None):
+    def __init__(self, air, config: StarkConfig, xp=None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh. When given, the prover runs
+        SPMD over it (SURVEY.md §7.5): commit is column-chunk-sharded (the
+        per-column NTT/LDE + segment sponges are device-local), the LDE is
+        then resharded once to rows (XLA all-to-all over ICI) so quotient
+        evaluation, DEEP sums, openings, and query gathers are row-local
+        with GSPMD-inserted collectives (halo ppermute for next-row
+        access, psum for reductions). Proofs are BIT-IDENTICAL to the
+        single-device path."""
         if xp is None:
             import jax.numpy as jnp
 
@@ -185,6 +201,7 @@ class StarkProver:
         self.air = air
         self.config = config
         self.xp = xp
+        self.mesh = mesh
         self.n = air.num_rows
         self.num_cols = air.num_cols
         self.blowup = config.blowup
@@ -202,6 +219,20 @@ class StarkProver:
         self.w_seg = max(1, min(self.segments, target_cols // seg_cols))
         self.chunk_width = self.w_seg * seg_cols
         self.num_chunks = -(-self.segments // self.w_seg)
+        if mesh is not None:
+            assert xp is not np, "mesh mode needs the jax backend"
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.ndev = mesh.devices.size
+            assert self.n0 % self.ndev == 0, "rows must divide across devices"
+            # chunk axis must divide across devices (all-pad chunks are
+            # dropped from the digest tree by the `segments` slice)
+            self.num_chunks = -(-self.num_chunks // self.ndev) * self.ndev
+            ax = mesh.axis_names[0]
+            self._sh_col = NamedSharding(mesh, P(ax, None, None))  # (nch, ., .)
+            self._sh_row3 = NamedSharding(mesh, P(None, ax, None))  # (., n0, .)
+            self._sh_rep = NamedSharding(mesh, P())
 
         # discover the emission-ordered filter list via a degree pass
         dctx = Ctx(DegreeAlgebra(), DegreeAccessors())
@@ -286,7 +317,8 @@ class StarkProver:
         W, nch = self.chunk_width, self.num_chunks
 
         def chunk_host(i):
-            a, b = i * W, min((i + 1) * W, self.num_cols)
+            a = i * W
+            b = max(a, min(a + W, self.num_cols))  # fully-pad chunks: b == a
             sl = trace_host[:, a:b]
             if b - a < W:
                 out = np.zeros((self.n, W), dtype=trace_host.dtype)
@@ -306,7 +338,12 @@ class StarkProver:
             cached = getattr(self, "_trace_dev_cache", None)
             if cached is not None and cached[0] == key:
                 return cached[1]
-        if trace_host.nbytes < self._UPLOAD_SLAB_BYTES:
+        if self.mesh is not None:
+            import jax
+
+            stacked = np.stack([chunk_host(i) for i in range(nch)])
+            devs = jax.device_put(stacked, self._sh_col)
+        elif trace_host.nbytes < self._UPLOAD_SLAB_BYTES:
             devs = [self._dev(chunk_host(i)) for i in range(nch)]
         else:
             # per chunk: split into slabs, dispatch ALL slab transfers
@@ -373,6 +410,22 @@ class StarkProver:
             lde_c = ntt.coset_evaluate(coeffs, self.n0, SHIFT)
             return lde_c, ps.hash_row_segments(lde_c, kseg)
 
+        if self.mesh is not None:
+            # SPMD: chunk-sharded vmapped commit + replicated finalize in
+            # one program; the LDE stays column(-chunk)-sharded
+            import jax
+
+            def f(tr3):
+                lde3, digs = jax.vmap(commit_chunk)(tr3)
+                lde3 = jax.lax.with_sharding_constraint(lde3, self._sh_col)
+                d = xp.moveaxis(digs, 0, 1).reshape(self.n0, -1, ps.CAP)
+                d = d[:, : self.segments]
+                leaves = ps.fold_segment_digests(d)
+                layers = merkle.build_layers(leaves, self.config.cap_height)
+                layers = [jax.lax.with_sharding_constraint(l, self._sh_rep) for l in layers]
+                return lde3, layers
+
+            return self._stage("commit_mesh", f)(trace_chunks)
         if xp is np:
             # numpy oracle: route big chunks through the jax-CPU jit (the
             # Poseidon absorb loop is ~10x faster compiled, bit-identical)
@@ -406,7 +459,7 @@ class StarkProver:
 
         def f(chunks, alphas, pis_a, filters_a, zh_inv, c_lde):
             alg = BaseVectorAlgebra(xp)
-            local = ChunkedColumns(xp, chunks)
+            local = ChunkedColumns(xp, _chunk_list(chunks))
             acc_ = VectorAccessors(xp, local, None, c_lde, None, pis_a, next_roll=self.blowup)
             ctx = Ctx(alg, acc_)
             self.air.eval(ctx)
@@ -423,7 +476,8 @@ class StarkProver:
                 outs.append(gl.gl_mul(acc, zh_inv))
             return xp.stack(outs, axis=1)  # (n0, nc)
 
-        return self._stage("quotient", f)(tuple(lde_chunks), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
+        args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
+        return self._stage("quotient", f)(args, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
 
     def _commit_quotient(self, qv):
         n, factor = self.n, self.factor
@@ -460,6 +514,7 @@ class StarkProver:
         resident LDE chunks: (num_cols, 2) host array."""
 
         def f(chunks, w):
+            chunks = _chunk_list(chunks)
             outs0, outs1 = [], []
             for ch in chunks:
                 outs0.append(gl.gl_sum(gl.gl_mul(ch, w[:, 0][:, None]), axis=0))
@@ -467,7 +522,8 @@ class StarkProver:
             cat = (lambda xs: xs[0]) if len(chunks) == 1 else (lambda xs: self.xp.concatenate(xs))
             return cat(outs0), cat(outs1)
 
-        c0, c1 = self._stage("open_lde", f)(tuple(lde_chunks), self._dev(weights))
+        args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
+        c0, c1 = self._stage("open_lde", f)(args, self._dev(weights))
         return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)[: self.num_cols]
 
     def _deep(self, lde_chunks, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev):
@@ -477,6 +533,7 @@ class StarkProver:
         xp = self.xp
 
         def f(chunks, ql, w1t, w1q, w2t, scalars, pts_a):
+            chunks = _chunk_list(chunks)
             r1z0, r1z1, r2z0, r2z1, z0, z1, zg0, zg1 = [scalars[i] for i in range(8)]
             W = chunks[0].shape[1]
             r1_0 = r1_1 = r2_0 = r2_1 = xp.zeros((self.n0,), dtype=xp.uint64)
@@ -508,8 +565,9 @@ class StarkProver:
             [r1z[0], r1z[1], r2z[0], r2z[1], zeta[0], zeta[1], zeta_g[0], zeta_g[1]],
             dtype=np.uint64,
         )
+        args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
         return self._stage("deep", f)(
-            tuple(lde_chunks), q_lde, self._dev(w1t), self._dev(w1q), self._dev(w2t), self._dev(scalars), pts_dev
+            args, q_lde, self._dev(w1t), self._dev(w1q), self._dev(w2t), self._dev(scalars), pts_dev
         )
 
     def _fri_commit_layer(self, values, layer: int):
@@ -598,6 +656,15 @@ class StarkProver:
         lde_chunks, trace_layers = self._commit_trace_chunks(trace_chunks)
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]
+        if self.mesh is not None:
+            # one all-to-all: columns -> rows; everything downstream
+            # (quotient, DEEP, openings, query gathers) is row-local
+            import jax
+
+            lde_chunks = self._stage(
+                "reshard_rows",
+                lambda a: jax.lax.with_sharding_constraint(a, self._sh_row3),
+            )(lde_chunks)
         mark("commit_trace")
 
         ch = Challenger()
@@ -682,8 +749,14 @@ class StarkProver:
         mark("grinding")
 
         idx_dev = self._dev(np.asarray(indices, dtype=np.int64))
-        row_parts = [self._fetch(chk[idx_dev]) for chk in lde_chunks]
-        trace_rows = np.concatenate(row_parts, axis=1)[:, :num_cols] if len(row_parts) > 1 else row_parts[0][:, :num_cols]
+        if self.mesh is not None:
+            rows3 = np.asarray(
+                self._stage("query_gather", lambda a, idx: a[:, idx, :])(lde_chunks, idx_dev)
+            )  # (nch, Q, W)
+            trace_rows = rows3.transpose(1, 0, 2).reshape(len(indices), -1)[:, :num_cols]
+        else:
+            row_parts = [self._fetch(chk[idx_dev]) for chk in lde_chunks]
+            trace_rows = np.concatenate(row_parts, axis=1)[:, :num_cols] if len(row_parts) > 1 else row_parts[0][:, :num_cols]
         q_rows = self._fetch(q_lde[idx_dev])
 
         query_rounds = []

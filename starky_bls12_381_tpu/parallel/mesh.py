@@ -214,3 +214,22 @@ def dryrun_multichip(n_devices: int) -> None:
         prover.const_lde_np,
     )
     np.testing.assert_array_equal(qv, np.asarray(qv_ref))
+
+    # END-TO-END sharded prove: one StarkProver.prove() spanning the mesh
+    # (commit column-chunk sharded -> one all-to-all to rows -> quotient/
+    # DEEP/openings/queries row-local with GSPMD collectives), proof
+    # bit-identical to the single-device prover and verified on host.
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+    from starky_bls12_381_tpu.backend.verifier import verify
+
+    saved = StarkProver._CHUNK_BYTES
+    try:
+        StarkProver._CHUNK_BYTES = 1 << 12  # force a sharded chunk axis
+        mp = StarkProver(air, config, mesh=Mesh(devs, ("d",)))
+        assert mp.num_chunks % n_devices == 0
+        proof_mesh = mp.prove(ptrace, ppis)
+    finally:
+        StarkProver._CHUNK_BYTES = saved
+    verify(air, proof_mesh, ppis, config)
+    proof_ref = prover.prove(ptrace, ppis)
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_ref), "sharded proof differs"

@@ -16,6 +16,40 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_prover_bit_identical(monkeypatch):
+    """One StarkProver.prove() call spanning the mesh (commit column-chunk
+    sharded, one all-to-all to rows, GSPMD collectives downstream) —
+    proof bit-identical to the single-device prover. Uses PoseidonAir
+    (the SPMD compile of a wide BLS air takes minutes on the virtual CPU
+    mesh; the math path is identical)."""
+    from jax.sharding import Mesh
+
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+    from starky_bls12_381_tpu.backend.prover import StarkProver
+    from starky_bls12_381_tpu.backend.verifier import verify
+    from starky_bls12_381_tpu.starks.poseidon_air import PoseidonAir
+
+    rng = np.random.default_rng(3)
+    air = PoseidonAir(num_perms=8)
+    inputs = [list(rng.integers(0, gl.P, size=12, dtype=np.uint64)) for _ in range(8)]
+    trace, pis = air.generate_trace(inputs)
+    config = StarkConfig(pow_bits=4, num_queries=8, cap_height=2)
+
+    # force a multi-chunk commit so the chunk axis actually shards
+    monkeypatch.setattr(StarkProver, "_CHUNK_BYTES", 1 << 12)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    mp = StarkProver(air, config, mesh=mesh)
+    assert mp.num_chunks % 8 == 0 and mp.num_chunks >= 8
+    proof_mesh = mp.prove(trace, pis)
+    verify(air, proof_mesh, pis, config)
+
+    sp = StarkProver(air, config, xp=np)
+    proof_single = sp.prove(trace, pis)
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_shard_quotient_matches_single_chip_on_merkle_air():
     """Halo-exchange quotient on a second air type (MerklePathAir) and a
