@@ -64,7 +64,21 @@ def bench_miller_loop():
         return air.generate_trace(pk_x, (-pk_y) % bls.P381, coeffs)
 
     trace, pis = _trace_cached("miller_loop_v1", build)
-    return air, trace, pis, "miller_loop_prove_s", 12.5
+
+    def gen_args():
+        # the reference's own golden test vector (native.rs:1480-1498)
+        hm = (
+            (2260803321181951703309420903406460477209912434020120381027413359130883713514969717876465885091628521232768207917010,
+             2651754974217764549573984422821173864573267897233450902768900290919635595830847280035238812354259899816422437732519),
+            (98328085801950751198634977711657076320088798571641012335466428770177401024922163125657710674003178075431656844523,
+             1156585784149709375944843577113354173925120574246839648967751052400396372157500751188298724114933365921247443786825),
+            (1, 0),
+        )
+        pk_x = 2620359726099670991095913421423408052907220385587653382880494211997835858894431070728023161812841650498384724513574
+        pk_y = 3516737663249789719313994746945990853755171862112391852604784999536233979171013701039178918880615112139780777770781
+        return (pk_x, (-pk_y) % bls.P381, bls.calc_pairing_precomp(*hm))
+
+    return air, trace, pis, "miller_loop_prove_s", 12.5, gen_args
 
 
 def bench_fp12_mul():
@@ -83,7 +97,7 @@ def bench_fp12_mul():
         return air.generate_trace(f(), f())
 
     trace, pis = _trace_cached("fp12_mul_v1", build)
-    return air, trace, pis, "fp12_mul_prove_s", 0.22
+    return air, trace, pis, "fp12_mul_prove_s", 0.22, None
 
 
 def bench_ecc():
@@ -100,7 +114,7 @@ def bench_ecc():
         return air.generate_trace(pts, bits)
 
     trace, pis = _trace_cached("ecc_agg_512_v1", build)
-    return air, trace, pis, "ecc_aggregate_prove_s", 3.0
+    return air, trace, pis, "ecc_aggregate_prove_s", 3.0, None
 
 
 def bench_final_exponentiate():
@@ -123,7 +137,20 @@ def bench_final_exponentiate():
         return air.generate_trace(a)
 
     trace, pis = _trace_cached("final_exp_v1", build)
-    return air, trace, pis, "final_exponentiate_prove_s", 92.0
+
+    def gen_args():
+        pk_x = 2620359726099670991095913421423408052907220385587653382880494211997835858894431070728023161812841650498384724513574
+        pk_y = 3516737663249789719313994746945990853755171862112391852604784999536233979171013701039178918880615112139780777770781
+        hm = (
+            (2260803321181951703309420903406460477209912434020120381027413359130883713514969717876465885091628521232768207917010,
+             2651754974217764549573984422821173864573267897233450902768900290919635595830847280035238812354259899816422437732519),
+            (98328085801950751198634977711657076320088798571641012335466428770177401024922163125657710674003178075431656844523,
+             1156585784149709375944843577113354173925120574246839648967751052400396372157500751188298724114933365921247443786825),
+            (1, 0),
+        )
+        return (bls.miller_loop(pk_x, (-pk_y) % bls.P381, *hm),)
+
+    return air, trace, pis, "final_exponentiate_prove_s", 92.0, gen_args
 
 
 def bench_pairing_precomp():
@@ -142,7 +169,7 @@ def bench_pairing_precomp():
         return air.generate_trace(*hm)
 
     trace, pis = _trace_cached("pairing_precomp_v1", build)
-    return air, trace, pis, "pairing_precomp_prove_s", 4.5
+    return air, trace, pis, "pairing_precomp_prove_s", 4.5, None
 
 
 def main():
@@ -151,7 +178,7 @@ def main():
     from starky_bls12_381_tpu.backend.verifier import verify
 
     which = os.environ.get("BENCH_STARK", "miller_loop")
-    air, trace, pis, metric, baseline = {
+    air, trace, pis, metric, baseline, gen_args = {
         "miller_loop": bench_miller_loop,
         "fp12_mul": bench_fp12_mul,
         "ecc": bench_ecc,
@@ -175,6 +202,22 @@ def main():
     warm = time.time() - t0
     stage_s = {k: round(v, 2) for k, v in getattr(prover, "timings", {}).items()}
     verify(air, proof, pis, config)
+
+    # true fresh-statement end-to-end: regenerate the trace ON DEVICE
+    # (FillRecorder.flush_device — only prepared limb inputs cross the
+    # link) and prove, twice (first pays the expansion jit compile)
+    e2e = {}
+    if gen_args is not None and os.environ.get("BENCH_E2E", "1") == "1":
+        args = gen_args()
+        t0 = time.time()
+        trace_dev, pis_e = air.generate_trace(*args, device=True)
+        proof_e = prover.prove(trace_dev, pis_e)
+        e2e["e2e_cold_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        trace_dev, pis_e = air.generate_trace(*args, device=True)
+        proof_e = prover.prove(trace_dev, pis_e)
+        e2e["fresh_e2e_s"] = round(time.time() - t0, 3)
+        verify(air, proof_e, pis_e, config)
     print(
         json.dumps(
             {
@@ -184,6 +227,7 @@ def main():
                 "vs_baseline": round(baseline / warm, 3),
                 "cold_s": round(cold, 1),
                 "fresh_s": round(fresh, 2),
+                **e2e,
                 "proof_bytes": proof.size_bytes(),
                 "columns": air.num_cols,
                 "rows": air.num_rows,

@@ -376,7 +376,11 @@ class VectorAccessors:
     (LDE index i+blowup is the next trace row), which avoids materializing
     a rolled copy of the full multi-GB LDE."""
 
-    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr, next_roll=None):
+    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr, next_roll=None, halo=None):
+        """`halo=(L, b)`: matrices carry L+b rows (a row segment plus its
+        b-row halo); local access slices [:L], next access [b:b+L]. Used by
+        the row-segmented quotient evaluation (bounds peak memory for wide
+        tall LDEs). Mutually exclusive with full-domain `next_roll`."""
         self.xp = xp
         self._mats = {
             "local": local_mat,
@@ -386,13 +390,14 @@ class VectorAccessors:
         }
         self.pis = pis_arr
         self.next_roll = next_roll
+        self.halo = halo
 
     def _gather(self, name, cols):
         mat = self._mats[name]
-        roll = 0
+        is_next = False
         if mat is None:
             mat = self._mats["local" if name == "next" else "const"]
-            roll = self.next_roll
+            is_next = True
         cols = np.asarray(cols)
         scalar = cols.ndim == 0
         flat = np.atleast_1d(cols).reshape(-1)
@@ -400,8 +405,11 @@ class VectorAccessors:
             g = mat.gather(flat)
         else:
             g = mat[:, flat]
-        if roll:
-            g = self.xp.roll(g, -roll, axis=0)
+        if self.halo is not None:
+            L, b = self.halo
+            g = g[b : b + L] if is_next else g[:L]
+        elif is_next:
+            g = self.xp.roll(g, -self.next_roll, axis=0)
         if scalar:
             return g[:, 0]
         g = self.xp.moveaxis(g, 0, -1)

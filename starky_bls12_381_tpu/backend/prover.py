@@ -367,6 +367,21 @@ class StarkProver:
             self._trace_dev_cache = (key, devs)
         return devs
 
+    def _slice_device_chunks(self, trace_dev):
+        """Device-resident (n, num_cols) trace -> padded column chunks, all
+        in HBM (no host transfer)."""
+        assert self.mesh is None, "on-device trace + mesh: stack+shard TODO"
+        W, nch = self.chunk_width, self.num_chunks
+        pad = W * nch - self.num_cols
+
+        def f(tr):
+            if pad:
+                z = self.xp.zeros((self.n, pad), dtype=tr.dtype)
+                tr = self.xp.concatenate([tr, z], axis=1)
+            return tuple(tr[:, i * W : (i + 1) * W] for i in range(nch))
+
+        return list(self._stage("slice_chunks", f)(trace_dev))
+
     _DOWNLOAD_STREAMS = 16
     _DOWNLOAD_SLAB_BYTES = 16 << 20
 
@@ -454,30 +469,101 @@ class StarkProver:
             layers = self._stage("finalize_leaves", finalize)(tuple(seg_digs))
         return lde_chunks, layers
 
+    # peak working set allowed for one quotient-evaluation program; wider/
+    # taller LDEs evaluate in row segments (XLA's scheduler keeps a large
+    # fraction of the gathered column blocks alive at once, so one-shot
+    # evaluation of e.g. the 8192x62826 FinalExp LDE wants ~35 GB HBM)
+    _QUOTIENT_SEG_BYTES = 1536 << 20
+
+    def _combine(self, ctx, alg, alphas, filters_a, zh_inv, npoints):
+        xp = self.xp
+        outs = []
+        for ci in range(self.config.num_challenges):
+            alpha = alphas[ci]
+            acc = xp.zeros((npoints,), dtype=xp.uint64)
+            for filt, data, _deg in reversed(ctx.constraints):
+                grp, nrows = alg.combine_rows(data, alpha)
+                if filt[0] != "every":
+                    grp = gl.gl_mul(grp, filters_a[self.filter_index[filt]])
+                a_pow = gl.gl_pow(alpha, nrows)
+                acc = gl.gl_add(gl.gl_mul(acc, a_pow), grp)
+            outs.append(gl.gl_mul(acc, zh_inv))
+        return xp.stack(outs, axis=1)
+
     def _quotient(self, lde_chunks, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
         xp = self.xp
+        nseg = 1
+        est = self.n0 * self.num_cols * 8
+        while nseg < self.n0 // max(1, self.blowup) and est // nseg > self._QUOTIENT_SEG_BYTES:
+            nseg *= 2
 
-        def f(chunks, alphas, pis_a, filters_a, zh_inv, c_lde):
-            alg = BaseVectorAlgebra(xp)
-            local = ChunkedColumns(xp, _chunk_list(chunks))
-            acc_ = VectorAccessors(xp, local, None, c_lde, None, pis_a, next_roll=self.blowup)
-            ctx = Ctx(alg, acc_)
-            self.air.eval(ctx)
-            outs = []
-            for ci in range(self.config.num_challenges):
-                alpha = alphas[ci]
-                acc = xp.zeros((self.n0,), dtype=xp.uint64)
-                for filt, data, _deg in reversed(ctx.constraints):
-                    grp, nrows = alg.combine_rows(data, alpha)
-                    if filt[0] != "every":
-                        grp = gl.gl_mul(grp, filters_a[self.filter_index[filt]])
-                    a_pow = gl.gl_pow(alpha, nrows)
-                    acc = gl.gl_add(gl.gl_mul(acc, a_pow), grp)
-                outs.append(gl.gl_mul(acc, zh_inv))
-            return xp.stack(outs, axis=1)  # (n0, nc)
+        if nseg == 1:
+            def f(chunks, alphas, pis_a, filters_a, zh_inv, c_lde):
+                alg = BaseVectorAlgebra(xp)
+                local = ChunkedColumns(xp, _chunk_list(chunks))
+                acc_ = VectorAccessors(xp, local, None, c_lde, None, pis_a, next_roll=self.blowup)
+                ctx = Ctx(alg, acc_)
+                self.air.eval(ctx)
+                return self._combine(ctx, alg, alphas, filters_a, zh_inv, self.n0)
 
-        args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
-        return self._stage("quotient", f)(args, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
+            args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
+            return self._stage("quotient", f)(args, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde)
+
+        # row-segmented: ONE compiled program over (segment + halo) row
+        # blocks sliced straight out of the resident LDE chunks, dispatched
+        # nseg times with different offsets (the last segment's halo wraps
+        # to the first `blowup` rows, handled by a second static variant —
+        # no whole-LDE halo copy ever exists)
+        assert self.mesh is None, "segmented quotient + mesh not wired yet"
+        L = self.n0 // nseg
+        b = self.blowup
+
+        def make_fseg(last: bool):
+            def fseg(chunks, off, alphas, pis_a, filters_a, zh_inv, c_lde):
+                if xp is np:
+                    o = int(off)
+                    rows = lambda a, sz: a[o : o + sz]  # noqa: E731
+                    cols = lambda a, sz: a[:, o : o + sz]  # noqa: E731
+                else:
+                    import jax
+
+                    rows = lambda a, sz: jax.lax.dynamic_slice(  # noqa: E731
+                        a, (off,) + (0,) * (a.ndim - 1), (sz,) + a.shape[1:]
+                    )
+                    cols = lambda a, sz: jax.lax.dynamic_slice(  # noqa: E731
+                        a, (0, off), (a.shape[0], sz)
+                    )
+
+                def block(a):
+                    if last:
+                        return xp.concatenate([rows(a, L), a[:b]], axis=0)
+                    return rows(a, L + b)
+
+                blocks = tuple(block(c) for c in _chunk_list(chunks))
+                cblk = block(c_lde)
+                filt_s = cols(filters_a, L)
+                zh_s = rows(zh_inv, L)
+                alg = BaseVectorAlgebra(xp)
+                local = ChunkedColumns(xp, list(blocks))
+                acc_ = VectorAccessors(xp, local, None, cblk, None, pis_a, halo=(L, b))
+                ctx = Ctx(alg, acc_)
+                self.air.eval(ctx)
+                return self._combine(ctx, alg, alphas, filt_s, zh_s, L)
+
+            return fseg
+
+        mid = self._stage("quotient_seg", make_fseg(False))
+        lastf = self._stage("quotient_seg_last", make_fseg(True))
+        args = tuple(lde_chunks)
+        parts = [
+            (lastf if s == nseg - 1 else mid)(
+                args, np.int64(s * L), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde
+            )
+            for s in range(nseg)
+        ]
+        if xp is np:
+            return np.concatenate(parts, axis=0)
+        return self._stage("quotient_cat", lambda *ps: xp.concatenate(ps, axis=0))(*parts)
 
     def _commit_quotient(self, qv):
         n, factor = self.n, self.factor
@@ -646,13 +732,19 @@ class StarkProver:
         # dominant upload cost; widened per chunk on device). Airs with
         # full-width cells (e.g. PoseidonAir) take the u64 path. Commit
         # streams over segment-aligned column chunks (see module doc).
-        if trace.dtype == np.uint32:
-            trace_host = trace
-        elif int(trace.max(initial=0)) < (1 << 32):
-            trace_host = trace.astype(np.uint32)
+        # A DEVICE-RESIDENT trace (on-device generation,
+        # FillRecorder.flush_device) skips the host->device transfer
+        # entirely and is sliced into chunks in HBM.
+        if self.xp is not np and not isinstance(trace, np.ndarray):
+            trace_chunks = self._slice_device_chunks(trace)
         else:
-            trace_host = np.ascontiguousarray(trace, dtype=np.uint64)
-        trace_chunks = self._upload_trace_chunks(trace_host)
+            if trace.dtype == np.uint32:
+                trace_host = trace
+            elif int(trace.max(initial=0)) < (1 << 32):
+                trace_host = trace.astype(np.uint32)
+            else:
+                trace_host = np.ascontiguousarray(trace, dtype=np.uint64)
+            trace_chunks = self._upload_trace_chunks(trace_host)
         lde_chunks, trace_layers = self._commit_trace_chunks(trace_chunks)
         trace_layers_np = [np.asarray(l) for l in trace_layers]
         trace_cap = trace_layers_np[-1]

@@ -185,12 +185,133 @@ def _const_vec(ctx, values):
     return V(alg, arr if xp is np else xp.asarray(arr), 0)
 
 
-def put(trace: np.ndarray, row: int, col: int, values):
+class FillRecorder:
+    """Drop-in 'trace' target for generate_trace: leaf gadget fills RECORD
+    (instance, row, inputs) instead of expanding witness blocks one window
+    at a time, and `flush()` executes ONE vectorized expansion per leaf
+    gadget TYPE (the trace-generation dual of the type-batched constraint
+    eval). This turns the ~10^5 tiny per-window numpy dispatches of a wide
+    trace fill into a handful of (B, rows, limbs) batch ops — and because
+    the batch executors are plain array code, the same expansion can run
+    under jax.jit straight into device HBM (on-device trace generation).
+    """
+
+    def __init__(self, num_rows: int, num_cols: int):
+        self.shape = (num_rows, num_cols)
+        self.records: dict = {}  # leaf type key -> list of tuples
+        self.direct: list = []  # (row0, col, values2d) raw block writes
+
+    def record(self, key, item):
+        self.records.setdefault(key, []).append(item)
+
+    def _prepared(self):
+        from . import fp as _fp
+
+        out = []
+        for key, recs in self.records.items():
+            base = key[0] if isinstance(key, tuple) else key
+            prep, expand = _fp.FILL_BATCHERS[base]
+            out.append((key, expand, prep(key, recs)))
+        return out
+
+    def flush(self, out: np.ndarray | None = None) -> np.ndarray:
+        """Expand all records into a host numpy trace array."""
+        from . import fp as _fp
+
+        if out is None:
+            out = np.zeros(self.shape, dtype=np.uint64)
+        for row0, col, vals in self.direct:
+            vals = np.asarray(vals, dtype=np.uint64)
+            if vals.ndim == 1:
+                out[row0, col : col + vals.shape[0]] = vals
+            else:
+                out[row0 : row0 + vals.shape[0], col : col + vals.shape[1]] = vals
+        w = _fp.TraceWriter(np, out)
+        for _key, expand, d in self._prepared():
+            expand(w, _key, d)
+        return out
+
+    def flush_device(self, jit_cache: dict | None = None):
+        """Expand all records into a DEVICE trace array under jax.jit:
+        only the prepared inputs (limb arrays + indices, a few MB) cross
+        the host->device link; the witness expansion (100s of MB for the
+        wide BLS traces) happens in HBM. Returns a jnp (rows, cols) uint64
+        array ready for StarkProver.prove."""
+        import jax
+        import jax.numpy as jnp
+
+        from . import fp as _fp
+
+        prepared = self._prepared()
+        # direct writes: keep broadcast views compact (ship the base row)
+        directs = []
+        for row0, col, vals in self.direct:
+            vals = np.asarray(vals, dtype=np.uint64)
+            if vals.ndim == 2 and vals.strides[0] == 0:  # broadcast rows
+                directs.append((row0, col, vals.shape[0], np.ascontiguousarray(vals[0])))
+            else:
+                directs.append((row0, col, None, np.ascontiguousarray(vals)))
+
+        # jit payload: a flat list of input arrays (device), with the
+        # expansion structure (keys, index arrays, shapes) closed over
+        def build(dvals, pvals):
+            out = jnp.zeros(self.shape, dtype=jnp.uint64)
+            for (row0, col, nrep, _v), v in zip(directs, dvals):
+                if nrep is not None:
+                    out = jax.lax.dynamic_update_slice(
+                        out, jnp.broadcast_to(v[None, :], (nrep, v.shape[0])), (row0, col)
+                    )
+                elif v.ndim == 1:
+                    out = jax.lax.dynamic_update_slice(out, v[None, :], (row0, col))
+                else:
+                    out = jax.lax.dynamic_update_slice(out, v, (row0, col))
+            w = _fp.TraceWriter(jnp, out)
+            for (key, expand, d), pv in zip(prepared, pvals):
+                d = dict(d)
+                for name, arr in pv.items():
+                    d[name] = arr
+                expand(w, key, d)
+            return w.arr
+
+        dvals = [jnp.asarray(v) for _r, _c, _n, v in directs]
+        pvals = [
+            {n: jnp.asarray(d[n]) for n in ("xv", "yv") if n in d} for _k, _e, d in prepared
+        ]
+        # one compiled expansion per (air) record structure: the schedule
+        # (and so every index array) is identical across statements, only
+        # the prepared VALUES differ and they are jit inputs
+        key = tuple((str(k), d["xv"].shape) for k, _e, d in prepared) + (
+            tuple((r, c, n, v.shape) for r, c, n, v in directs),
+        )
+        fn = jit_cache.get(key) if jit_cache is not None else None
+        if fn is None:
+            fn = jax.jit(build)
+            if jit_cache is not None:
+                jit_cache[key] = fn
+        return fn(dvals, pvals)
+
+
+def finish_trace(air, rec: "FillRecorder", device: bool = False):
+    """Flush a recorder to a host numpy trace, or (device=True) expand it
+    on the accelerator under a per-air cached jit."""
+    if device:
+        cache = air.__dict__.setdefault("_fill_jit", {})
+        return rec.flush_device(cache)
+    return rec.flush()
+
+
+def put(trace, row: int, col: int, values):
     values = np.asarray(values, dtype=np.uint64)
+    if isinstance(trace, FillRecorder):
+        trace.direct.append((row, col, values))
+        return
     trace[row, col : col + values.shape[-1]] = values
 
 
-def put_rows(trace: np.ndarray, row0: int, col: int, values2d):
+def put_rows(trace, row0: int, col: int, values2d):
     """values2d (k, w): write k consecutive rows starting at row0."""
+    if isinstance(trace, FillRecorder):
+        trace.direct.append((row0, col, values2d))
+        return
     values2d = np.asarray(values2d, dtype=np.uint64)
     trace[row0 : row0 + values2d.shape[0], col : col + values2d.shape[1]] = values2d

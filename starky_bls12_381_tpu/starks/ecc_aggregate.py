@@ -24,7 +24,7 @@ import numpy as np
 
 from ..backend.air import Air
 from ..chips import limbs
-from ..chips.core import ChipBuilder, put_rows
+from ..chips.core import ChipBuilder, put, put_rows
 from ..chips.fp import RegPinGadget, _rows_of
 from ..chips.g1 import G1AddGadget
 from ..fields import bls12_381 as bls
@@ -112,12 +112,14 @@ class ECCAggregateAir(Air):
         ctx.constraint(sel * (ctx.next(self.acc_inf) - inf * (1 - b)))
 
     # -- trace generation ----------------------------------------------
-    def generate_trace(self, points, bits):
+    def generate_trace(self, points, bits, device: bool = False):
         """points: [(x, y)] of len num_points; bits: 0/1 list. Returns
         (trace, pis). Mirrors the skip logic of ecc_aggregate.rs:37-82."""
         assert len(points) == self.num_points and len(bits) == self.num_points
         assert any(bits), "aggregate of zero points is the identity (unsupported)"
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        from ..chips.core import FillRecorder
+
+        trace = FillRecorder(self.num_rows, self.num_cols)
         acc = None
         for i, (p, bit) in enumerate(zip(points, bits)):
             r0 = 12 * i
@@ -144,8 +146,8 @@ class ECCAggregateAir(Air):
                     acc = p
         # final accumulator row
         final_row = 12 * self.num_points
-        trace[final_row, self.acc_x : self.acc_x + 12] = limbs.to_limbs(acc[0])
-        trace[final_row, self.acc_y : self.acc_y + 12] = limbs.to_limbs(acc[1])
+        put(trace, final_row, self.acc_x, limbs.to_limbs(acc[0]))
+        put(trace, final_row, self.acc_y, limbs.to_limbs(acc[1]))
         pis = []
         for p in points:
             pis.extend(int(x) for x in limbs.to_limbs(p[0]))
@@ -153,4 +155,6 @@ class ECCAggregateAir(Air):
         pis.extend(int(b) for b in bits)
         pis.extend(int(x) for x in limbs.to_limbs(acc[0]))
         pis.extend(int(x) for x in limbs.to_limbs(acc[1]))
-        return trace, pis
+        from ..chips.core import finish_trace
+
+        return finish_trace(self, trace, device), pis

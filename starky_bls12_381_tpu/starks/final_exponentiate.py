@@ -313,9 +313,11 @@ class FinalExponentiateAir(Air):
             ctx.constraint(sel * (ctx.next_g(in_mat) - ctx.local_g(out_mat)))
 
     # -- trace generation ----------------------------------------------
-    def generate_trace(self, a):
+    def generate_trace(self, a, device: bool = False):
         """a: Fp12 input. Returns (trace, pis); output = final_exponentiate(a)."""
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        from ..chips.core import FillRecorder
+
+        trace = FillRecorder(self.num_rows, self.num_cols)
         vals = {"a": a}
 
         def set_reg(name, v):
@@ -372,4 +374,6 @@ class FinalExponentiateAir(Air):
         pis = fp12_to_pis(a) + fp12_to_pis(vals[self.out_name])
         if self._steps is STEPS:
             assert vals["t31"] == bls.fp12_final_exponentiate(a)
-        return trace, pis
+        from ..chips.core import finish_trace
+
+        return finish_trace(self, trace, device), pis

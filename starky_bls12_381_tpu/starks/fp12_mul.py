@@ -75,9 +75,13 @@ class FP12MulAir(Air):
         self.cb.eval_all(ctx)
 
     # -- trace generation ----------------------------------------------
-    def generate_trace(self, x, y):
+    def generate_trace(self, x, y, device: bool = False):
         """x, y: Fp12 values (nested tuples). Returns (trace, pis)."""
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        from ..chips.core import FillRecorder
+
+        trace = FillRecorder(self.num_rows, self.num_cols)
         out = self.mul.fill(trace, 0, x, y)
         pis = fp12_to_pis(x) + fp12_to_pis(y) + fp12_to_pis(out)
-        return trace, pis
+        from ..chips.core import finish_trace
+
+        return finish_trace(self, trace, device), pis

@@ -161,11 +161,13 @@ class MillerLoopAir(Air):
         ctx.constraint(sel_sq * (a_next - ctx.local_g(self._outsq_cols)))
 
     # -- trace generation ----------------------------------------------
-    def generate_trace(self, px: int, py: int, ell_coeffs):
+    def generate_trace(self, px: int, py: int, ell_coeffs, device: bool = False):
         """px, py: G1 point; ell_coeffs: 68 [c0, c1, c2] Fp2 triples.
         Returns (trace, pis)."""
         assert len(ell_coeffs) == self.nb
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        from ..chips.core import FillRecorder
+
+        trace = FillRecorder(self.num_rows, self.num_cols)
         put_rows(trace, 0, self.px,
                  np.broadcast_to(limbs.to_limbs(px), (12 * self.nb, 12)))
         put_rows(trace, 0, self.py,
@@ -188,4 +190,6 @@ class MillerLoopAir(Air):
             + [int(x) for e in ell_coeffs for c in e for fp in c for x in limbs.to_limbs(fp)]
             + fp12_to_pis(res)
         )
-        return trace, pis
+        from ..chips.core import finish_trace
+
+        return finish_trace(self, trace, device), pis

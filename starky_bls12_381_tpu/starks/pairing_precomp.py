@@ -291,9 +291,11 @@ class PairingPrecompAir(Air):
                 ctx.constraint(sel * (ctx.next(reg + 12, 12) - ctx.local(pair[1], 12)))
 
     # -- trace generation ----------------------------------------------
-    def generate_trace(self, x, y, z):
+    def generate_trace(self, x, y, z, device: bool = False):
         """x, y, z: Fp2 tuples (homogeneous G2 point). Returns (trace, pis)."""
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        from ..chips.core import FillRecorder
+
+        trace = FillRecorder(self.num_rows, self.num_cols)
         zinv = bls.fp2_inv(z)
         self.zz.fill(trace, 0, z, zinv)
         qx = self.xz.fill(trace, 0, x, zinv)
@@ -379,4 +381,6 @@ class PairingPrecompAir(Air):
             for c in triple:
                 pis.extend(int(t) for t in limbs.to_limbs(c[0]))
                 pis.extend(int(t) for t in limbs.to_limbs(c[1]))
-        return trace, pis
+        from ..chips.core import finish_trace
+
+        return finish_trace(self, trace, device), pis

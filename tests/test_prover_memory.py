@@ -96,3 +96,58 @@ def test_multichunk_prove_bit_identical(monkeypatch):
     from starky_bls12_381_tpu.backend.proof import proof_to_bytes
 
     assert proof_to_bytes(proof_one) == proof_to_bytes(proof_many)
+
+
+def test_on_device_trace_generation_bit_identical():
+    """FillRecorder.flush_device expands the recorded fills under jax.jit;
+    the device trace must equal the host flush bit-for-bit."""
+    import random
+
+    import jax.numpy as jnp  # noqa: F401
+
+    from starky_bls12_381_tpu.fields.bls12_381 import P381
+    from starky_bls12_381_tpu.starks.fp12_mul import FP12MulAir
+
+    rng_py = random.Random(1)
+
+    def fp12():
+        return tuple(
+            tuple((rng_py.randrange(P381), rng_py.randrange(P381)) for _ in range(3))
+            for _ in range(2)
+        )
+
+    air = FP12MulAir()
+    x, y = fp12(), fp12()
+    host, pis = air.generate_trace(x, y)
+    dev, pis2 = air.generate_trace(x, y, device=True)
+    assert pis == pis2
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    # second statement reuses the cached compiled expansion
+    x2, y2 = fp12(), fp12()
+    host2, _ = air.generate_trace(x2, y2)
+    dev2, _ = air.generate_trace(x2, y2, device=True)
+    np.testing.assert_array_equal(np.asarray(dev2), host2)
+    assert len(air._fill_jit) == 1
+
+
+def test_row_segmented_quotient_bit_identical(monkeypatch):
+    """Forcing a tiny quotient segment budget must produce the identical
+    proof (row-segmented constraint evaluation with halo blocks)."""
+    from starky_bls12_381_tpu.starks.poseidon_air import PoseidonAir
+
+    air = PoseidonAir(num_perms=2)
+    rng = np.random.default_rng(9)
+    inputs = [list(rng.integers(0, gl.P, size=12, dtype=np.uint64)) for _ in range(2)]
+    trace, pis = air.generate_trace(inputs)
+    config = StarkConfig(pow_bits=4, num_queries=8)
+
+    one = StarkProver(air, config, xp=np)
+    proof_one = one.prove(trace, pis)
+
+    monkeypatch.setattr(StarkProver, "_QUOTIENT_SEG_BYTES", 1 << 10)
+    seg = StarkProver(air, config, xp=np)
+    proof_seg = seg.prove(trace, pis)
+    verify(air, proof_seg, pis, config)
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+
+    assert proof_to_bytes(proof_one) == proof_to_bytes(proof_seg)
