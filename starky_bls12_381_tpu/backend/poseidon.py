@@ -14,6 +14,22 @@ any fixed secure instance works):
 * round constants: rejection-sampled from SHA-256 in counter mode over a
   domain-separation tag.
 
+Security margin: (p, t, alpha, R_F, R_P) = (2^64-2^32+1, 12, 7, 8, 22) is
+the SAME parameter point as plonky2's publicly vetted Poseidon-Goldilocks
+instance (the backend hash of the reference's entire proof stack). The
+published Poseidon security analysis (GKRRS20, §5.5) bounds statistical
+attacks by R_F >= 6 for t=12 at 128-bit security (we have 8) and algebraic
+interpolation/Groebner attacks by R_F + R_P >= ~1.075 * (R_F+R_P)_min with
+(R_F+R_P)_min ~ 26 for alpha=7 over a 64-bit field with 128-bit capacity
+(we have 30, matching plonky2's chosen margin). Those bounds depend only
+on (p, t, alpha, round counts), an MDS linear layer, and structureless
+round constants: our Cauchy matrix is provably MDS (all square submatrices
+of a Cauchy matrix are nonsingular), and SHA-256-counter rejection
+sampling yields constants with no exploitable algebraic structure, the
+same nothing-up-my-sleeve recipe as the reference instantiations. The two
+implementations below (scalar and batched with the sparse partial-round
+factorization) are pinned equal by tests/test_poseidon.py.
+
 Two implementations with identical outputs:
 * scalar/python-int (`permute_s`) for the host challenger,
 * batched array (`permute`) over numpy or jax.numpy uint64 for Merkle

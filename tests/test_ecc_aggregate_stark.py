@@ -1,5 +1,6 @@
 """ECCAggregate stark tests (small NUM_POINTS instances)."""
 
+import os
 import random
 
 import numpy as np
@@ -72,3 +73,19 @@ def test_prove_verify(air):
     bad[air.PIS_BITS] = 1 - bad[air.PIS_BITS]
     with pytest.raises(VerificationError):
         verify(air, proof, bad, config)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="RUN_SLOW not set")
+def test_prove_verify_512_points():
+    """The reference's production configuration: 512 pubkeys
+    (ecc_aggregate.rs:7). 8192x3724 prove+verify on the numpy oracle;
+    the TPU path is exercised by BENCH_STARK=ecc."""
+    air512 = ECCAggregateAir(num_points=512)
+    pts = _points(512)
+    bits = [1 if i % 3 != 1 else 0 for i in range(512)]
+    trace, pis = air512.generate_trace(pts, bits)
+    assert trace.shape == (8192, air512.num_cols)
+    assert_zero_residuals(air512, trace, pis)
+    config = StarkConfig(rate_bits=1, pow_bits=8, num_queries=28)
+    proof = prove(air512, trace, pis, config, xp=np)
+    verify(air512, proof, pis, config)
