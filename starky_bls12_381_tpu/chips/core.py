@@ -233,62 +233,93 @@ class FillRecorder:
 
     def flush_device(self, jit_cache: dict | None = None):
         """Expand all records into a DEVICE trace array under jax.jit:
-        only the prepared inputs (limb arrays + indices, a few MB) cross
-        the host->device link; the witness expansion (100s of MB for the
-        wide BLS traces) happens in HBM. Returns a jnp (rows, cols) uint64
-        array ready for StarkProver.prove."""
+        only the prepared inputs (limb value arrays, a few MB) cross the
+        host->device link; the witness expansion (100s of MB for the wide
+        BLS traces) happens in HBM. Every write — batched leaf-gadget
+        fields and shape-grouped direct writes alike — is one flat
+        unique-index scatter whose index grid is computed on device from
+        small static vectors, so the traced graph is a few dozen ops with
+        a tiny MLIR payload regardless of trace width. Returns a jnp
+        (rows, cols) uint64 array ready for StarkProver.prove."""
         import jax
         import jax.numpy as jnp
 
         from . import fp as _fp
 
         prepared = self._prepared()
-        # direct writes: keep broadcast views compact (ship the base row)
-        directs = []
+        R, C = self.shape
+
+        # direct writes grouped by (block shape, broadcast?): one scatter
+        # per group. Within a group the write order must not matter, so
+        # host-sequential "last write wins" semantics are preserved by
+        # dropping all but the last write to any cell (checked cheaply via
+        # the flat base indices — blocks of one group are identical shape).
+        dgroups: dict = {}
         for row0, col, vals in self.direct:
             vals = np.asarray(vals, dtype=np.uint64)
             if vals.ndim == 2 and vals.strides[0] == 0:  # broadcast rows
-                directs.append((row0, col, vals.shape[0], np.ascontiguousarray(vals[0])))
+                key = (vals.shape[0], vals.shape[1], True)
+                v = np.ascontiguousarray(vals[0])
+            elif vals.ndim == 1:
+                key = (1, vals.shape[0], False)
+                v = vals[None, :]
             else:
-                directs.append((row0, col, None, np.ascontiguousarray(vals)))
+                key = (vals.shape[0], vals.shape[1], False)
+                v = np.ascontiguousarray(vals)
+            dgroups.setdefault(key, []).append((row0 * C + col, v))
+        dmeta = []  # (h, w, bcast, base int32 (n,))
+        dvals = []
+        for (h, wid, bcast), items in dgroups.items():
+            base = np.asarray([b for b, _ in items], dtype=np.int32)
+            # keep the LAST write per base (matches sequential host flush);
+            # same-shape blocks at the same base fully overlap
+            _, last = np.unique(base[::-1], return_index=True)
+            if last.shape[0] != base.shape[0]:
+                keep = np.sort(base.shape[0] - 1 - last)
+                base = base[keep]
+                items = [items[i] for i in keep]
+            dmeta.append((h, wid, bcast, base))
+            dvals.append(np.stack([v for _, v in items]))
 
-        # jit payload: a flat list of input arrays (device), with the
-        # expansion structure (keys, index arrays, shapes) closed over
-        def build(dvals, pvals):
-            out = jnp.zeros(self.shape, dtype=jnp.uint64)
-            for (row0, col, nrep, _v), v in zip(directs, dvals):
-                if nrep is not None:
-                    out = jax.lax.dynamic_update_slice(
-                        out, jnp.broadcast_to(v[None, :], (nrep, v.shape[0])), (row0, col)
-                    )
-                elif v.ndim == 1:
-                    out = jax.lax.dynamic_update_slice(out, v[None, :], (row0, col))
+        def build(dv, pvals):
+            flat = jnp.zeros(R * C, dtype=jnp.uint64)
+            for (h, wid, bcast, base), v in zip(dmeta, dv):
+                offs = (
+                    np.arange(h, dtype=np.int32)[:, None] * np.int32(C)
+                    + np.arange(wid, dtype=np.int32)[None, :]
+                ).reshape(-1)
+                idx = (jnp.asarray(base)[:, None] + jnp.asarray(offs)[None, :]).reshape(-1)
+                if bcast:
+                    vv = jnp.broadcast_to(v[:, None, :], (v.shape[0], h, wid))
                 else:
-                    out = jax.lax.dynamic_update_slice(out, v, (row0, col))
-            w = _fp.TraceWriter(jnp, out)
+                    vv = v
+                flat = flat.at[idx].set(vv.reshape(-1), unique_indices=True)
+            w = _fp.TraceWriter(jnp, flat, C)
             for (key, expand, d), pv in zip(prepared, pvals):
                 d = dict(d)
-                for name, arr in pv.items():
-                    d[name] = arr
+                d.update(pv)
                 expand(w, key, d)
-            return w.arr
+            return w.arr.reshape(R, C)
 
-        dvals = [jnp.asarray(v) for _r, _c, _n, v in directs]
+        # the VALUE arrays are jit inputs (only they differ between
+        # statements); the write schedule (row groups + column bases)
+        # stays static host data feeding tiny on-device index math
+        dv = [jnp.asarray(v) for v in dvals]
         pvals = [
-            {n: jnp.asarray(d[n]) for n in ("xv", "yv") if n in d} for _k, _e, d in prepared
+            {n: jnp.asarray(v) for n, v in d.items() if isinstance(v, np.ndarray)}
+            for _k, _e, d in prepared
         ]
         # one compiled expansion per (air) record structure: the schedule
-        # (and so every index array) is identical across statements, only
-        # the prepared VALUES differ and they are jit inputs
+        # is identical across statements, only the prepared VALUES differ
         key = tuple((str(k), d["xv"].shape) for k, _e, d in prepared) + (
-            tuple((r, c, n, v.shape) for r, c, n, v in directs),
+            tuple((h, wid, bcast, b.shape[0]) for h, wid, bcast, b in dmeta),
         )
         fn = jit_cache.get(key) if jit_cache is not None else None
         if fn is None:
             fn = jax.jit(build)
             if jit_cache is not None:
                 jit_cache[key] = fn
-        return fn(dvals, pvals)
+        return fn(dv, pvals)
 
 
 def finish_trace(air, rec: "FillRecorder", device: bool = False):

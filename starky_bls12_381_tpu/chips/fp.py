@@ -303,12 +303,14 @@ class MulSingleGadget:
 
 
 class RangeCheckGadget:
-    """x < p check: y = x + (2^382 - p) must have bits 382/383 clear
-    (fp.rs:315-330 / :1326-1441; we also pin bit 383, which the honest
-    filler never sets but a malicious one could)."""
+    """x < bound check (default bound = p): y = x + (2^382 - bound) must
+    have bits 382/383 clear (fp.rs:315-330 / :1326-1441; we also pin bit
+    383, which the honest filler never sets but a malicious one could)."""
 
-    def __init__(self, cb: ChipBuilder, rows):
+    def __init__(self, cb: ChipBuilder, rows, bound: int = P381):
         self.rows = frozenset(rows)
+        assert 0 < bound <= (1 << 382)
+        self.off_limbs = limbs.to_limbs((1 << 382) - bound)
         w = cb.wit
         self.x = w.take(12)
         self.sum = w.take(12)
@@ -322,7 +324,7 @@ class RangeCheckGadget:
             trace.record("rangecheck", (self, row, limbs.from_limbs(x_limbs)))
             return
         x = np.asarray(x_limbs, dtype=np.uint64)
-        s, c = limbs.add_u32_slices(x, RC_OFFSET_LIMBS)
+        s, c = limbs.add_u32_slices(x, self.off_limbs)
         put(trace, row, self.x, x)
         put(trace, row, self.sum, s)
         put(trace, row, self.carry, c)
@@ -335,7 +337,7 @@ class RangeCheckGadget:
         s = ctx.local_g(cm([i.sum for i in insts], 12))
         c = ctx.local_g(cm([i.carry for i in insts], 12))
         b = ctx.local_g(cm([i.bits for i in insts], 32))
-        k = ctx.lift(RC_OFFSET_LIMBS[None, :])
+        k = ctx.lift(np.stack([i.off_limbs for i in insts]))
         ctx.constraint(sel * (x[:, :1] + k[:, :1] - s[:, :1] - c[:, :1] * B32))
         ctx.constraint(sel * (x[:, 1:] + k[:, 1:] + c[:, :11] - s[:, 1:] - c[:, 1:] * B32))
         ctx.constraint(sel * c * (c - 1))
@@ -452,44 +454,104 @@ class FpMulReduceGadget:
 
 
 class TraceWriter:
-    """Scatter-write adapter: numpy fancy assignment or jnp .at updates."""
+    """Write adapter for batch expansion. Records are grouped by IDENTICAL
+    row schedule (the BLS airs activate every instance of a gadget type on
+    the same row set), so each (gadget-type, field, row-group) lowers to a
+    SINGLE write: numpy fancy assignment on host, or one flat 1-D scatter
+    with unique indices under jax.jit, whose index grid is computed ON
+    DEVICE from two small static vectors (rows, column bases). Per-record
+    scatters with baked-in index constants blew the MLIR payload to ~50 MB
+    at miller-loop width and killed the remote TPU compiler; per-instance
+    dense slice updates produced tens of thousands of ops and compiled for
+    hours. A handful of big unique-index scatters keeps the graph tiny."""
 
-    def __init__(self, xp, arr):
+    def __init__(self, xp, arr, ncols: int | None = None):
         self.xp = xp
-        self.arr = arr
+        self.arr = arr  # host: (R, C) numpy; device: flat (R*C,) jnp
+        self.ncols = ncols
 
-    def w1(self, rows, colbase, vals):
-        """rows (B,), colbase (B,), vals (B, w): single-row writes."""
-        w = vals.shape[-1]
-        idx_r = np.asarray(rows)[:, None]
-        idx_c = np.asarray(colbase)[:, None] + np.arange(w)[None, :]
+    def _write(self, rows, cols, slab):
+        """rows (k,), cols (mw,) host ints; slab (k, mw): one grid write."""
         if self.xp is np:
-            self.arr[idx_r, idx_c] = vals
+            self.arr[rows[:, None], cols[None, :]] = slab
         else:
-            self.arr = self.arr.at[idx_r, idx_c].set(vals)
+            xp = self.xp
+            r = xp.asarray(rows.astype(np.int32) * np.int32(self.ncols))
+            c = xp.asarray(cols.astype(np.int32))
+            idx = (r[:, None] + c[None, :]).reshape(-1)
+            self.arr = self.arr.at[idx].set(slab.reshape(-1), unique_indices=True)
 
-    def w12(self, rows12, colbase, vals):
-        """rows12 (B, 12), colbase (B,), vals (B, 12, w): window writes."""
+    def w1(self, meta, cbs, vals):
+        """Single-row writes: vals (B, w) ordered group- then instance-major."""
         w = vals.shape[-1]
-        idx_r = np.asarray(rows12)[:, :, None]
-        idx_c = np.asarray(colbase)[:, None, None] + np.arange(w)[None, None, :]
-        if self.xp is np:
-            self.arr[idx_r, idx_c] = vals
-        else:
-            self.arr = self.arr.at[idx_r, idx_c].set(vals)
+        aw = np.arange(w)
+        for rec0, inst0, m, k, rt in meta:
+            cols = (np.asarray(cbs[inst0 : inst0 + m])[:, None] + aw[None, :]).reshape(-1)
+            slab = vals[rec0 : rec0 + m * k].reshape(m, k, w).swapaxes(0, 1).reshape(k, m * w)
+            self._write(np.asarray(rt), cols, slab)
+
+    def w12(self, meta, cbs, vals):
+        """12-row window writes: vals (B, 12, w)."""
+        w = vals.shape[-1]
+        aw = np.arange(w)
+        for rec0, inst0, m, k, rt in meta:
+            cols = (np.asarray(cbs[inst0 : inst0 + m])[:, None] + aw[None, :]).reshape(-1)
+            rows = (np.asarray(rt)[:, None] + np.arange(12)[None, :]).reshape(-1)
+            slab = (
+                vals[rec0 : rec0 + m * k]
+                .reshape(m, k, 12, w)
+                .transpose(1, 2, 0, 3)
+                .reshape(k * 12, m * w)
+            )
+            self._write(rows, cols, slab)
 
 
-def _cols(insts, name):
-    return np.asarray([getattr(g, name) for g in insts])
+def _group_records(insts, rows):
+    """Order records group-major and merge instances sharing an identical
+    row schedule (column-wise batching: the write for a whole group is one
+    (k rows) x (m instances * width) grid).
+
+    Returns (order, meta, ordered_insts): `order` reindexes record arrays
+    instance-major with rows sorted within each instance; meta entries are
+    (rec0, inst0, m, k, rows_tuple)."""
+    by_inst: dict = {}
+    inst_list = []
+    for idx, g in enumerate(insts):
+        key = id(g)
+        if key not in by_inst:
+            by_inst[key] = []
+            inst_list.append((key, g))
+        by_inst[key].append(idx)
+    groups: dict = {}
+    for key, g in inst_list:
+        idxs = sorted(by_inst[key], key=lambda i: rows[i])
+        rt = tuple(int(rows[i]) for i in idxs)
+        groups.setdefault(rt, []).append((g, idxs))
+    order: list = []
+    meta = []
+    ordered_insts: list = []
+    for rt, members in groups.items():
+        meta.append((len(order), len(ordered_insts), len(members), len(rt), rt))
+        for g, idxs in members:
+            order.extend(idxs)
+            ordered_insts.append(g)
+    return np.asarray(order), meta, ordered_insts
+
+
+def _cbs(insts, name):
+    return [int(getattr(g, name)) for g in insts]
 
 
 def _prep_fpmul(_key, recs):
     insts, row0s, xs, ys = zip(*recs)
+    order, meta, oinsts = _group_records(insts, row0s)
+    xs = [xs[i] for i in order]
+    ys = [ys[i] for i in order]
     return {
         "xv": limbs.to_limbs_batch(xs),
         "yv": limbs.to_limbs_batch(ys),
-        "rows": np.asarray(row0s)[:, None] + np.arange(12)[None, :],
-        "c": {n: _cols(insts, n) for n in ("x", "y", "xy", "xy_c", "shift", "sum", "sum_c")},
+        "meta": meta,
+        "cbs": {n: _cbs(oinsts, n) for n in ("x", "y", "xy", "xy_c", "shift", "sum", "sum_c")},
     }
 
 
@@ -498,7 +560,7 @@ def _expand_fpmul(w, _key, d):
     x = xp.asarray(d["xv"])
     y = xp.asarray(d["yv"])
     B = x.shape[0]
-    rows, c = d["rows"], d["c"]
+    meta, cbs = d["meta"], d["cbs"]
     xy, xy_c = limbs.multiply_by_slice(x[:, None, :], y)  # (B,12,13),(B,12,12)
     sh_rows = []
     for i in range(12):
@@ -512,70 +574,78 @@ def _expand_fpmul(w, _key, d):
         run, cr = limbs.add_u32_slices(shifted[:, i], run)
         sums.append(run)
         carrs.append(cr)
-    w.w12(rows, c["x"], xp.broadcast_to(x[:, None, :], (B, 12, 12)))
-    w.w12(rows, c["y"], xp.broadcast_to(y[:, None, :], (B, 12, 12)))
-    w.w12(rows, c["xy"], xy)
-    w.w12(rows, c["xy_c"], xy_c)
-    w.w12(rows, c["shift"], shifted)
-    w.w12(rows, c["sum"], xp.stack(sums, axis=1))
-    w.w12(rows, c["sum_c"], xp.stack(carrs, axis=1))
+    w.w12(meta, cbs["x"], xp.broadcast_to(x[:, None, :], (B, 12, 12)))
+    w.w12(meta, cbs["y"], xp.broadcast_to(y[:, None, :], (B, 12, 12)))
+    w.w12(meta, cbs["xy"], xy)
+    w.w12(meta, cbs["xy_c"], xy_c)
+    w.w12(meta, cbs["shift"], shifted)
+    w.w12(meta, cbs["sum"], xp.stack(sums, axis=1))
+    w.w12(meta, cbs["sum_c"], xp.stack(carrs, axis=1))
 
 
 def _prep_addsub(key, recs):
     n = key[1]
     insts, rows, xs, ys = zip(*recs)
+    order, meta, oinsts = _group_records(insts, rows)
+    xs = [xs[i] for i in order]
+    ys = [ys[i] for i in order]
     names = ("x", "y", "sum", "carry") if key[0] == "addn" else ("x", "y", "diff", "borrow")
     return {
         "xv": limbs.to_limbs_batch(xs, n),
         "yv": limbs.to_limbs_batch(ys, n),
-        "rows": np.asarray(rows),
-        "c": {m: _cols(insts, m) for m in names},
+        "meta": meta,
+        "cbs": {m: _cbs(oinsts, m) for m in names},
     }
 
 
 def _expand_addn(w, key, d):
     x, y = w.xp.asarray(d["xv"]), w.xp.asarray(d["yv"])
     s, c = limbs.add_u32_slices(x, y)
-    w.w1(d["rows"], d["c"]["x"], x)
-    w.w1(d["rows"], d["c"]["y"], y)
-    w.w1(d["rows"], d["c"]["sum"], s)
-    w.w1(d["rows"], d["c"]["carry"], c)
+    w.w1(d["meta"], d["cbs"]["x"], x)
+    w.w1(d["meta"], d["cbs"]["y"], y)
+    w.w1(d["meta"], d["cbs"]["sum"], s)
+    w.w1(d["meta"], d["cbs"]["carry"], c)
 
 
 def _expand_subn(w, key, d):
     x, y = w.xp.asarray(d["xv"]), w.xp.asarray(d["yv"])
     dd, b = limbs.sub_u32_slices(x, y)
-    w.w1(d["rows"], d["c"]["x"], x)
-    w.w1(d["rows"], d["c"]["y"], y)
-    w.w1(d["rows"], d["c"]["diff"], dd)
-    w.w1(d["rows"], d["c"]["borrow"], b)
+    w.w1(d["meta"], d["cbs"]["x"], x)
+    w.w1(d["meta"], d["cbs"]["y"], y)
+    w.w1(d["meta"], d["cbs"]["diff"], dd)
+    w.w1(d["meta"], d["cbs"]["borrow"], b)
 
 
 def _prep_mulsingle(_key, recs):
     insts, rows, xs, ys = zip(*recs)
+    order, meta, oinsts = _group_records(insts, rows)
+    xs = [xs[i] for i in order]
+    ys = [ys[i] for i in order]
     return {
         "xv": limbs.to_limbs_batch(xs),
         "yv": np.asarray(ys, dtype=np.uint64),
-        "rows": np.asarray(rows),
-        "c": {m: _cols(insts, m) for m in ("x", "y", "res", "carry")},
+        "meta": meta,
+        "cbs": {m: _cbs(oinsts, m) for m in ("x", "y", "res", "carry")},
     }
 
 
 def _expand_mulsingle(w, _key, d):
     x, y = w.xp.asarray(d["xv"]), w.xp.asarray(d["yv"])
     r, c = limbs.mul_u32_slice_u32(x, y)
-    w.w1(d["rows"], d["c"]["x"], x)
-    w.w1(d["rows"], d["c"]["y"], y[:, None])
-    w.w1(d["rows"], d["c"]["res"], r)
-    w.w1(d["rows"], d["c"]["carry"], c)
+    w.w1(d["meta"], d["cbs"]["x"], x)
+    w.w1(d["meta"], d["cbs"]["y"], y[:, None])
+    w.w1(d["meta"], d["cbs"]["res"], r)
+    w.w1(d["meta"], d["cbs"]["carry"], c)
 
 
 def _prep_rangecheck(_key, recs):
     insts, rows, xs = zip(*recs)
+    order, meta, oinsts = _group_records(insts, rows)
+    xs = [xs[i] for i in order]
     return {
         "xv": limbs.to_limbs_batch(xs),
-        "rows": np.asarray(rows),
-        "c": {m: _cols(insts, m) for m in ("x", "sum", "carry", "bits")},
+        "meta": meta,
+        "cbs": {m: _cbs(oinsts, m) for m in ("x", "sum", "carry", "bits")},
     }
 
 
@@ -583,10 +653,10 @@ def _expand_rangecheck(w, _key, d):
     x = w.xp.asarray(d["xv"])
     s, c = limbs.add_u32_slices(x, w.xp.asarray(RC_OFFSET_LIMBS))
     bits = limbs.get_bits_as_array(s[:, 11])
-    w.w1(d["rows"], d["c"]["x"], x)
-    w.w1(d["rows"], d["c"]["sum"], s)
-    w.w1(d["rows"], d["c"]["carry"], c)
-    w.w1(d["rows"], d["c"]["bits"], bits)
+    w.w1(d["meta"], d["cbs"]["x"], x)
+    w.w1(d["meta"], d["cbs"]["sum"], s)
+    w.w1(d["meta"], d["cbs"]["carry"], c)
+    w.w1(d["meta"], d["cbs"]["bits"], bits)
 
 
 FILL_BATCHERS = {
