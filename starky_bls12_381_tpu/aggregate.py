@@ -36,9 +36,16 @@ from .starks.ecc_aggregate import ECCAggregateAir
 from .starks.final_exponentiate import FinalExponentiateAir
 from .starks.fp12_mul import FP12MulAir, fp12_to_pis
 from .starks.miller_loop import MillerLoopAir
+from .fields import sha256 as sha
 from .starks.pairing_precomp import PairingPrecompAir
+from .starks.sha256_air import Sha256Air
 
-STAGES = ["ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+STAGES = ["h2f", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+
+# expand_message_xmd(32-byte signing root, DST, 256) always costs the same
+# number of SHA-256 compressions (3 for b0 + 2 for each of b1..b8)
+XMD_LEN = 2 * 2 * h2c.L
+_XMD_BLOCKS = len(sha.expand_message_xmd_compressions(bytes(32), h2c.DST, XMD_LEN)[1])
 
 
 @dataclass
@@ -58,6 +65,7 @@ class AggregatePipeline:
         self.config = config or StarkConfig()
         self.xp = xp
         self.airs = {
+            "h2f": Sha256Air(num_blocks=_XMD_BLOCKS),
             "ecc": ECCAggregateAir(num_points=num_points),
             "pp": PairingPrecompAir(),
             "ml": MillerLoopAir(),
@@ -66,10 +74,18 @@ class AggregatePipeline:
         }
         self._provers: Dict[str, StarkProver] = {}
 
+    def _h2f_air(self, num_blocks: int):
+        """The h2f air sized for the message (32-byte signing roots need 19
+        compressions; other lengths re-size the air and its prover)."""
+        if self.airs["h2f"].num_blocks != num_blocks:
+            self.airs["h2f"] = Sha256Air(num_blocks=num_blocks)
+            self._provers.pop("h2f", None)
+        return self.airs["h2f"]
+
     def _air_for(self, stage: str):
         return self.airs[
-            {"ecc": "ecc", "pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml",
-             "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
+            {"h2f": "h2f", "ecc": "ecc", "pp1": "pp", "pp2": "pp", "ml1": "ml",
+             "ml2": "ml", "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
         ]
 
     def _prove(self, stage: str, trace, pis):
@@ -100,7 +116,10 @@ class AggregatePipeline:
         ml2 = bls.miller_loop(*bls.G1_GEN, *sig3)
         mu = bls.fp12_mul(ml1, ml2)
         fe = bls.fp12_final_exponentiate(mu)
+        _, xmd_comps = sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)
+        h2f_air = self._h2f_air(len(xmd_comps))
         builders = {
+            "h2f": lambda: h2f_air.generate_trace(xmd_comps),
             "ecc": lambda: self.airs["ecc"].generate_trace(pubkeys, bits),
             "pp1": lambda: self.airs["pp"].generate_trace(*hm3),
             "ml1": lambda: self.airs["ml"].generate_trace(neg_apk[0], neg_apk[1], coeffs1),
@@ -151,8 +170,9 @@ class AggregatePipeline:
 
     # -- verification ----------------------------------------------------
     def verify_aggregate(self, bundle: AggregateBundle, pubkeys, bits, message: bytes, signature):
-        """Verifies the 7 proofs and the cross-proof public-input links
+        """Verifies the 8 proofs and the cross-proof public-input links
         (native equivalents of aggregate_proof.rs:510-599)."""
+        self._h2f_air(len(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1]))
         for stage in STAGES:
             verify(self._air_for(stage), bundle.proofs[stage], bundle.publics[stage], self.config)
         check_aggregate_links(
@@ -190,6 +210,7 @@ def native_publics(pubkeys, bits, message: bytes, signature):
                 out.extend(_fp2_limbs(c))
         return out
 
+    h2f = sha.comps_to_pis(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1])
     ecc = []
     for p in pubkeys:
         ecc.extend(_limbs(p[0]) + _limbs(p[1]))
@@ -201,8 +222,8 @@ def native_publics(pubkeys, bits, message: bytes, signature):
     mul_pis = fp12_to_pis(ml1) + fp12_to_pis(ml2) + fp12_to_pis(mu)
     fe_pis = fp12_to_pis(mu) + fp12_to_pis(fe)
     return {
-        "ecc": ecc, "pp1": pp1, "ml1": ml1_pis, "pp2": pp2, "ml2": ml2_pis,
-        "fp12mul": mul_pis, "finalexp": fe_pis,
+        "h2f": h2f, "ecc": ecc, "pp1": pp1, "ml1": ml1_pis, "pp2": pp2,
+        "ml2": ml2_pis, "fp12mul": mul_pis, "finalexp": fe_pis,
     }
 
 
@@ -217,6 +238,15 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
     def req(cond, msg):
         if not cond:
             raise VerificationError(f"aggregate link failed: {msg}")
+
+    # the h2f stark proved EXACTLY the SHA-256 compressions of
+    # expand_message_xmd(message) — padding, chaining and b0-xor plumbing
+    # re-derived natively over the proved public words (the reference
+    # proves the same wiring in-circuit, hash_to_field.rs:82-169)
+    try:
+        sha.check_xmd_pis(publics["h2f"], message, h2c.DST, XMD_LEN)
+    except ValueError as exc:
+        raise VerificationError(f"aggregate link failed: {exc}")
 
     # statement binding: points and bits match the claimed committee
     exp_pts = []
@@ -268,7 +298,7 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
 # ---------------------------------------------------------------------------
 
 _BUNDLE_MAGIC = b"SBTB"
-_BUNDLE_VERSION = 1
+_BUNDLE_VERSION = 2
 
 
 def bundle_to_bytes(bundle: AggregateBundle) -> bytes:

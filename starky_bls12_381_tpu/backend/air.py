@@ -105,6 +105,11 @@ class V:
         the verifier's is the GF(p^2) pair."""
         return V(self.alg, self.alg.index(self.d, idx), self.deg)
 
+    def sum0(self):
+        """Sum over the leading (stacked) axis — e.g. recomposing a word
+        from weighted bit columns in one reduction."""
+        return V(self.alg, self.alg.sum0(self.d), self.deg)
+
 
 # ---------------------------------------------------------------------------
 # Algebras
@@ -141,6 +146,9 @@ class BaseVectorAlgebra:
 
     def index(self, data, idx):
         return data[idx]
+
+    def sum0(self, data):
+        return gl.gl_sum(data, axis=0)
 
     def lift_ints(self, arr: np.ndarray):
         """Constant array (any shape) -> data broadcastable against stacked
@@ -197,6 +205,9 @@ class ExtScalarAlgebra:
     def index(self, data, idx):
         return data[idx]
 
+    def sum0(self, data):
+        return data.sum(axis=0) % gl.P
+
     def lift_ints(self, arr: np.ndarray):
         a = np.asarray(arr, dtype=np.uint64)
         out = np.zeros(a.shape + (2,), dtype=object)
@@ -242,6 +253,9 @@ class DegreeAlgebra:
         return [data]
 
     def index(self, data, idx):
+        return data
+
+    def sum0(self, data):
         return data
 
     def lift_ints(self, arr):
