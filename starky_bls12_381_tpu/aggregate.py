@@ -1,16 +1,20 @@
-"""Aggregate BLS signature-verification pipeline: the 7-stark orchestrator.
+"""Aggregate BLS signature-verification pipeline: the 10-stark orchestrator.
 
 Capability-parity with the reference's `aggregate_proof.rs:224-400`
 (SURVEY.md §3.1): given NUM_POINTS sync-committee pubkeys, participation
 bits, the signing message and the aggregate signature, produce
 
-  1. ECCAggregate        — apk = sum of selected pubkeys
-  2. PairingPrecomp(Hm)  — line coefficients for Hm = hash_to_curve(msg)
-  3. MillerLoop(-apk,Hm)
-  4. PairingPrecomp(sig)
-  5. MillerLoop(G, sig)
-  6. FP12Mul(ml1, ml2)
-  7. FinalExponentiate   — result must be one
+  1. Sha256 (h2f)        — every SHA-256 compression of hash_to_field's
+                           expand_message_xmd (hash_to_field.rs:82-169)
+  2. SigPointCheck       — G2 signature on-curve + sign (g2_plonky2.rs)
+  3. PkPointCheck        — 512 G1 pubkey on-curve + sign (g1_plonky2.rs)
+  4. ECCAggregate        — apk = sum of selected pubkeys
+  5. PairingPrecomp(Hm)  — line coefficients for Hm = hash_to_curve(msg)
+  6. MillerLoop(-apk,Hm)
+  7. PairingPrecomp(sig)
+  8. MillerLoop(G, sig)
+  9. FP12Mul(ml1, ml2)
+ 10. FinalExponentiate   — result must be one
 
 plus the cross-proof public-input consistency links that the reference
 wires inside its aggregation SNARK (`aggregate_proof.rs:510-599`). This
@@ -38,9 +42,10 @@ from .starks.fp12_mul import FP12MulAir, fp12_to_pis
 from .starks.miller_loop import MillerLoopAir
 from .fields import sha256 as sha
 from .starks.pairing_precomp import PairingPrecompAir
+from .starks.point_check import PkPointCheckAir, SigPointCheckAir
 from .starks.sha256_air import Sha256Air
 
-STAGES = ["h2f", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+STAGES = ["h2f", "sigc", "pkc", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
 
 # expand_message_xmd(32-byte signing root, DST, 256) always costs the same
 # number of SHA-256 compressions (3 for b0 + 2 for each of b1..b8)
@@ -50,7 +55,7 @@ _XMD_BLOCKS = len(sha.expand_message_xmd_compressions(bytes(32), h2c.DST, XMD_LE
 
 @dataclass
 class AggregateBundle:
-    """All seven proofs with their public inputs."""
+    """All stage proofs with their public inputs."""
 
     proofs: Dict[str, object]
     publics: Dict[str, List[int]]
@@ -58,7 +63,7 @@ class AggregateBundle:
 
 
 class AggregatePipeline:
-    """Builds the five airs once; proves / verifies signature bundles."""
+    """Builds the airs once; proves / verifies signature bundles."""
 
     def __init__(self, num_points: int = 512, config: StarkConfig | None = None, xp=None):
         self.num_points = num_points
@@ -66,6 +71,8 @@ class AggregatePipeline:
         self.xp = xp
         self.airs = {
             "h2f": Sha256Air(num_blocks=_XMD_BLOCKS),
+            "pkc": PkPointCheckAir(num_points=num_points),
+            "sigc": SigPointCheckAir(),
             "ecc": ECCAggregateAir(num_points=num_points),
             "pp": PairingPrecompAir(),
             "ml": MillerLoopAir(),
@@ -84,8 +91,9 @@ class AggregatePipeline:
 
     def _air_for(self, stage: str):
         return self.airs[
-            {"h2f": "h2f", "ecc": "ecc", "pp1": "pp", "pp2": "pp", "ml1": "ml",
-             "ml2": "ml", "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
+            {"h2f": "h2f", "pkc": "pkc", "sigc": "sigc", "ecc": "ecc",
+             "pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml",
+             "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
         ]
 
     def _prove(self, stage: str, trace, pis):
@@ -120,6 +128,8 @@ class AggregatePipeline:
         h2f_air = self._h2f_air(len(xmd_comps))
         builders = {
             "h2f": lambda: h2f_air.generate_trace(xmd_comps),
+            "pkc": lambda: self.airs["pkc"].generate_trace(pubkeys),
+            "sigc": lambda: self.airs["sigc"].generate_trace(*signature),
             "ecc": lambda: self.airs["ecc"].generate_trace(pubkeys, bits),
             "pp1": lambda: self.airs["pp"].generate_trace(*hm3),
             "ml1": lambda: self.airs["ml"].generate_trace(neg_apk[0], neg_apk[1], coeffs1),
@@ -137,7 +147,7 @@ class AggregatePipeline:
     _PIPELINE_AHEAD = 2
 
     def prove_aggregate(self, pubkeys, bits, message: bytes, signature) -> AggregateBundle:
-        """Prove all seven starks. Host trace generation is pipelined with
+        """Prove all stage starks. Host trace generation is pipelined with
         device proving: while the accelerator proves stage k, a worker
         thread fills stage k+1's columns (the TPU analog of the reference's
         'parallelize stark proof generation' future work, README.md:28 —
@@ -211,6 +221,13 @@ def native_publics(pubkeys, bits, message: bytes, signature):
         return out
 
     h2f = sha.comps_to_pis(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1])
+    from .fields.compression import _sign_fp, _sign_fp2
+
+    pkc = []
+    for p in pubkeys:
+        pkc.extend(_limbs(p[0]) + _limbs(p[1]) + [_sign_fp(p[1])])
+    sigc = (_fp2_limbs(signature[0]) + _fp2_limbs(signature[1])
+            + [_sign_fp2(signature[1])])
     ecc = []
     for p in pubkeys:
         ecc.extend(_limbs(p[0]) + _limbs(p[1]))
@@ -222,8 +239,9 @@ def native_publics(pubkeys, bits, message: bytes, signature):
     mul_pis = fp12_to_pis(ml1) + fp12_to_pis(ml2) + fp12_to_pis(mu)
     fe_pis = fp12_to_pis(mu) + fp12_to_pis(fe)
     return {
-        "h2f": h2f, "ecc": ecc, "pp1": pp1, "ml1": ml1_pis, "pp2": pp2,
-        "ml2": ml2_pis, "fp12mul": mul_pis, "finalexp": fe_pis,
+        "h2f": h2f, "pkc": pkc, "sigc": sigc, "ecc": ecc, "pp1": pp1,
+        "ml1": ml1_pis, "pp2": pp2, "ml2": ml2_pis, "fp12mul": mul_pis,
+        "finalexp": fe_pis,
     }
 
 
@@ -253,6 +271,22 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
     for p in pubkeys:
         exp_pts.extend(_limbs(p[0]) + _limbs(p[1]))
     req(ecc[: num_points * 24] == exp_pts, "ECC points != pubkeys")
+
+    # in-proof decompression checks (g1_plonky2.rs pk_point_check x N,
+    # g2_plonky2.rs signature_point_check): the pkc/sigc starks prove
+    # on-curve + sign for every point; here we bind their PIs to the
+    # statement (with compressed inputs, x and the sign flag come straight
+    # from the wire bytes, so the verifier does no per-point curve math)
+    from .fields.compression import _sign_fp, _sign_fp2
+
+    pkc, sigc = publics["pkc"], publics["sigc"]
+    for i, p in enumerate(pubkeys):
+        req(pkc[25 * i : 25 * i + 12] == _limbs(p[0]), f"PKC x != pubkey[{i}].x")
+        req(pkc[25 * i + 12 : 25 * i + 24] == _limbs(p[1]), f"PKC y != pubkey[{i}].y")
+        req(pkc[25 * i + 24] == _sign_fp(p[1]), f"PKC sign flag mismatch [{i}]")
+    req(sigc[0:24] == _fp2_limbs(signature[0]), "SIGC x != sig.x")
+    req(sigc[24:48] == _fp2_limbs(signature[1]), "SIGC y != sig.y")
+    req(sigc[48] == _sign_fp2(signature[1]), "SIGC sign flag mismatch")
     req(ecc[ecc_air.PIS_BITS : ecc_air.PIS_BITS + num_points] == [int(b) for b in bits],
         "ECC bits mismatch")
     apk_x = ecc[ecc_air.PIS_RES : ecc_air.PIS_RES + 12]

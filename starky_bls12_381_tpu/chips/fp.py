@@ -349,6 +349,49 @@ class RangeCheckGadget:
         ctx.constraint(sel * (b[:, 30:31] + b[:, 31:32]))
 
 
+HP381 = (P381 + 1) // 2
+HP381_LIMBS = limbs.to_limbs(HP381)
+
+
+class SignGadget:
+    """y -> a-flag = floor(2y/p) (the reference's compressed-point sign
+    witness, g1_plonky2.rs:27-35): witnesses the conditional subtraction
+    y = f*hp + s with hp = (p+1)/2, boolean f, and s range-checked < hp,
+    so f = 1 iff y >= hp iff floor(2y/p) = 1. Requires y < p (bind the
+    `y` port to range-checked or public data)."""
+
+    def __init__(self, cb: ChipBuilder, rows):
+        self.cb = cb
+        self.rows = frozenset(rows)
+        self.f = cb.wit.take(1)
+        self.add = AddNGadget(cb, rows, 12)  # s + f*hp = y
+        cb.bind_const(rows, self.add.carry + 11, [0])
+        self.rc = RangeCheckGadget(cb, rows, bound=HP381)  # s < hp
+        cb.wire(rows, self.rc.x, self.add.x, 12)
+        self.s = self.add.x
+        self.y = self.add.sum  # consumers wire their y here
+        self.sel = cb.indicator(self.rows)
+        cb.register("sign", self)
+
+    def fill(self, trace, row, y_int: int) -> int:
+        f = 1 if y_int >= HP381 else 0
+        s = y_int - f * HP381
+        self.add.fill(trace, row, limbs.to_limbs(s), limbs.to_limbs(f * HP381))
+        self.rc.fill(trace, row, limbs.to_limbs(s))
+        put(trace, row, self.f, np.asarray([f], dtype=np.uint64))
+        return f
+
+    @staticmethod
+    def eval_batched(ctx, insts):
+        sel = ctx.const_g(c1([i.sel for i in insts]))
+        f = ctx.local_g(c1([i.f for i in insts]))
+        yv = ctx.local_g(cm([i.add.y for i in insts], 12))
+        hp = ctx.lift(HP381_LIMBS[None, :])
+        ctx.constraint(sel * f * (f - 1))
+        # the AddN y-port carries f * hp limb-wise
+        ctx.constraint(sel * (yv - f * hp))
+
+
 class Reduce24Gadget:
     """24-limb mod-p reduction: input == div * p + rem (fp.rs:386-428 /
     :1447-1553). Contains a 12-row div*p multiplication (Y pinned to p), a
@@ -642,8 +685,10 @@ def _prep_rangecheck(_key, recs):
     insts, rows, xs = zip(*recs)
     order, meta, oinsts = _group_records(insts, rows)
     xs = [xs[i] for i in order]
+    offs = np.stack([insts[i].off_limbs for i in order])  # per-record bound offset
     return {
         "xv": limbs.to_limbs_batch(xs),
+        "offv": offs,
         "meta": meta,
         "cbs": {m: _cbs(oinsts, m) for m in ("x", "sum", "carry", "bits")},
     }
@@ -651,7 +696,7 @@ def _prep_rangecheck(_key, recs):
 
 def _expand_rangecheck(w, _key, d):
     x = w.xp.asarray(d["xv"])
-    s, c = limbs.add_u32_slices(x, w.xp.asarray(RC_OFFSET_LIMBS))
+    s, c = limbs.add_u32_slices(x, w.xp.asarray(d["offv"]))
     bits = limbs.get_bits_as_array(s[:, 11])
     w.w1(d["meta"], d["cbs"]["x"], x)
     w.w1(d["meta"], d["cbs"]["sum"], s)

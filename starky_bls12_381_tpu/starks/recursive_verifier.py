@@ -91,14 +91,20 @@ def _emul(a, b):
 class RecursiveVerifierAir(Air):
     """Verifies the query phase of proofs for one (inner air, config)."""
 
-    def __init__(self, inner_air, inner_config: StarkConfig):
+    def __init__(self, inner_air, inner_config: StarkConfig, num_queries: int | None = None):
+        """`num_queries`: how many query slots this outer air carries
+        (default: all of the inner config's). A smaller value turns the
+        air into a SHARD: the same compiled prover then wraps any
+        `num_queries`-sized slice of the inner proof's queries, and a DAG
+        of shards covers wide inner airs whose full wrap would not fit
+        device memory (`prove_recursive_dag`)."""
         self.inner = inner_air
         self.icfg = inner_config
         n = inner_air.num_rows
         self.C = inner_air.num_cols
         self.n0 = n * inner_config.blowup
         self.L = inner_config.fri_num_folds(self.n0)
-        self.Q = inner_config.num_queries
+        self.Q = num_queries if num_queries is not None else inner_config.num_queries
         self.nq = inner_config.num_challenges * inner_air.quotient_degree_factor()
         ch = inner_config.cap_height
         self.depth = (self.n0.bit_length() - 1) - ch
@@ -513,11 +519,16 @@ class RecursiveVerifierAir(Air):
     # ------------------------------------------------------------------
     # trace generation
     # ------------------------------------------------------------------
-    def generate_trace(self, proof: StarkProof, inner_pis):
+    def generate_trace(self, proof: StarkProof, inner_pis, query_indices=None):
         """Builds the witness from a full inner proof (with query rounds)
-        and returns (trace, outer_pis)."""
+        and returns (trace, outer_pis). `query_indices`: which inner query
+        slots fill this air's Q regions (default 0..Q-1; shards pass their
+        slice, padded by repetition to Q)."""
+        if query_indices is None:
+            query_indices = list(range(self.Q))
+        assert len(query_indices) == self.Q
         d = derive_challenges(self.inner, proof, inner_pis, self.icfg)
-        outer_pis = build_outer_pis(self, proof, d)
+        outer_pis = build_outer_pis(self, proof, d, query_indices)
         P = gl.P
         trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
         consts = self.constant_columns()
@@ -530,7 +541,8 @@ class RecursiveVerifierAir(Air):
         r2z = _dot(weights[j1:], proof.trace_next)
         w_n0 = gl.primitive_root_of_unity(self.n0.bit_length() - 1)
 
-        for q, qr in enumerate(proof.fri.query_rounds):
+        for q, qi in enumerate(query_indices):
+            qr = proof.fri.query_rounds[qi]
             r0 = q * self.rows_per_query
             regs = {}
 
@@ -715,7 +727,8 @@ def _dot(weights: np.ndarray, values: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def build_outer_pis(rair: RecursiveVerifierAir, proof: StarkProof, d: dict) -> list:
+def build_outer_pis(rair: RecursiveVerifierAir, proof: StarkProof, d: dict,
+                    query_indices=None) -> list:
     """The recursive air's public-input vector: a pure function of the
     inner proof's PUBLIC part and the transcript-derived values (the outer
     verifier recomputes and checks every entry natively)."""
@@ -735,7 +748,10 @@ def build_outer_pis(rair: RecursiveVerifierAir, proof: StarkProof, d: dict) -> l
     for b in d["betas"]:
         pis += [b[0], b[1]]
     w_n0 = gl.primitive_root_of_unity(rair.n0.bit_length() - 1)
-    for q, index in enumerate(d["indices"]):
+    if query_indices is None:
+        query_indices = list(range(rair.Q))
+    for qi in query_indices:
+        index = d["indices"][qi]
         x = SHIFT * pow(w_n0, index, P) % P
         pis.append(x)
         pis += [(index >> v) & 1 for v in range(rair.depth)]
@@ -822,3 +838,82 @@ def verify_recursive(inner_air, inner_pis, inner_config: StarkConfig,
     check_quotient_identity(inner_air, p, inner_pis, inner_config, d["alphas"], d["zeta"])
     outer_pis = build_outer_pis(rair, p, d)
     verify(rair, comp.outer_proof, outer_pis, outer_config)
+
+
+# ---------------------------------------------------------------------------
+# Query-sharded recursion: wrap wide inner airs as a DAG of outer proofs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompressedProofDag:
+    """Inner public part + one outer proof per query shard. The shards
+    jointly cover every FRI query of the inner proof (the last shard pads
+    by repeating queries, so all shards share one air/compiled prover)."""
+
+    inner_public: StarkProof
+    outer_proofs: list
+    shard: int
+
+
+def _shard_indices(Q: int, shard: int):
+    """Partition 0..Q-1 into shard-sized slices, padding the last by
+    repetition (duplicate queries re-prove the same checks: sound)."""
+    out = []
+    for lo in range(0, Q, shard):
+        idxs = list(range(lo, min(lo + shard, Q)))
+        while len(idxs) < shard:
+            idxs.append(idxs[-1])
+        out.append(idxs)
+    return out
+
+
+def prove_recursive_dag(inner_air, proof: StarkProof, inner_pis,
+                        inner_config: StarkConfig, outer_config: StarkConfig,
+                        shard: int, xp=None, rair: RecursiveVerifierAir | None = None):
+    """Wrap a full inner proof as ceil(Q/shard) outer proofs, each covering
+    `shard` queries — the path to recursing over the wide BLS starks whose
+    single-air wrap exceeds device memory (docs/RECURSION.md). One air (and
+    one jitted prover) serves every shard."""
+    from ..backend.prover import StarkProver
+
+    if rair is None:
+        rair = RecursiveVerifierAir(inner_air, inner_config, num_queries=shard)
+    prover = StarkProver(rair, outer_config, xp=xp)
+    outers = []
+    for idxs in _shard_indices(inner_config.num_queries, shard):
+        trace, opis = rair.generate_trace(proof, inner_pis, idxs)
+        outers.append(prover.prove(trace, opis))
+    return rair, CompressedProofDag(
+        inner_public=strip_queries(proof), outer_proofs=outers, shard=shard
+    )
+
+
+def verify_recursive_dag(inner_air, inner_pis, inner_config: StarkConfig,
+                         dag: CompressedProofDag, outer_config: StarkConfig,
+                         rair: RecursiveVerifierAir | None = None) -> None:
+    """Native scalar checks once, then one outer verification per shard;
+    the shard index sets must cover every inner query."""
+    if rair is None:
+        rair = RecursiveVerifierAir(inner_air, inner_config, num_queries=dag.shard)
+    p = dag.inner_public
+    if len(p.fri.layer_caps) != rair.L:
+        raise VerificationError("bad FRI layer count")
+    if p.fri.final_coeffs.shape[0] != rair.final_len:
+        raise VerificationError("bad final poly length")
+    if p.trace_local.shape[0] != rair.C or p.quotient_open.shape[0] != rair.nq:
+        raise VerificationError("bad opening shape")
+    d = derive_challenges(inner_air, p, inner_pis, inner_config)
+    if not check_pow(d["pow_challenge"], p.fri.pow_nonce, inner_config.pow_bits):
+        raise VerificationError("bad grinding witness")
+    check_quotient_identity(inner_air, p, inner_pis, inner_config, d["alphas"], d["zeta"])
+    shards = _shard_indices(inner_config.num_queries, dag.shard)
+    if len(dag.outer_proofs) != len(shards):
+        raise VerificationError("bad shard count")
+    covered = set()
+    for idxs, op in zip(shards, dag.outer_proofs):
+        outer_pis = build_outer_pis(rair, p, d, idxs)
+        verify(rair, op, outer_pis, outer_config)
+        covered.update(idxs)
+    if covered != set(range(inner_config.num_queries)):
+        raise VerificationError("query shards do not cover all queries")

@@ -133,3 +133,49 @@ def test_strip_queries_roundtrip(inner_case):
 
     back = proof_from_bytes(data)
     assert proof_to_bytes(back) == data
+
+
+# -- query-sharded DAG recursion ----------------------------------------------
+
+
+def test_sharded_dag_prove_verify(inner_case):
+    """Wrap a 5-query inner proof as 3 shards of 2 (last padded by
+    repetition); the DAG must verify, and coverage/tamper cases reject."""
+    from starky_bls12_381_tpu.starks.recursive_verifier import (
+        CompressedProofDag,
+        prove_recursive_dag,
+        verify_recursive_dag,
+    )
+
+    air, _, pis = inner_case
+    icfg = StarkConfig(pow_bits=4, num_queries=5, cap_height=2, final_poly_len=8)
+    rng = np.random.default_rng(0)
+    inputs = [list(rng.integers(0, gl.P, size=12, dtype=np.uint64)) for _ in range(2)]
+    trace, pis5 = air.generate_trace(inputs)
+    proof5 = prove(air, trace, pis5, icfg, xp=np)
+
+    rair, dag = prove_recursive_dag(air, proof5, pis5, icfg, OCFG, shard=2, xp=np)
+    assert len(dag.outer_proofs) == 3
+    assert rair.Q == 2
+    verify_recursive_dag(air, pis5, icfg, dag, OCFG)
+
+    # dropping a shard must fail coverage
+    bad = CompressedProofDag(dag.inner_public, dag.outer_proofs[:2], dag.shard)
+    with pytest.raises(VerificationError):
+        verify_recursive_dag(air, pis5, icfg, bad, OCFG)
+
+    # a shard proof swapped for another shard's must fail its PI binding
+    swapped = CompressedProofDag(
+        dag.inner_public,
+        [dag.outer_proofs[1], dag.outer_proofs[0], dag.outer_proofs[2]],
+        dag.shard,
+    )
+    with pytest.raises(VerificationError):
+        verify_recursive_dag(air, pis5, icfg, swapped, OCFG)
+
+    # tampered inner cap must fail the native re-derivation
+    bad_pub = copy.deepcopy(dag.inner_public)
+    bad_pub.trace_cap = bad_pub.trace_cap.copy()
+    bad_pub.trace_cap[0, 0] = (int(bad_pub.trace_cap[0, 0]) + 1) % gl.P
+    with pytest.raises(VerificationError):
+        verify_recursive_dag(air, pis5, icfg, CompressedProofDag(bad_pub, dag.outer_proofs, 2), OCFG)
