@@ -177,6 +177,11 @@ def main():
     from starky_bls12_381_tpu.backend.prover import StarkProver
     from starky_bls12_381_tpu.backend.verifier import verify
 
+    start = time.time()
+    # overall wall budget: the headline JSON must print and the process
+    # exit 0 comfortably inside the driver's timeout. Everything after the
+    # headline (verify timing, e2e extras) is strictly budget-gated.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     which = os.environ.get("BENCH_STARK", "miller_loop")
     air, trace, pis, metric, baseline, gen_args = {
         "miller_loop": bench_miller_loop,
@@ -201,43 +206,57 @@ def main():
     proof = prover.prove(trace, pis)
     warm = time.time() - t0
     stage_s = {k: round(v, 2) for k, v in getattr(prover, "timings", {}).items()}
-    verify(air, proof, pis, config)
+
+    # ---- headline: print + flush FIRST, before any optional extras ----
+    headline = {
+        "metric": metric,
+        "value": round(warm, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / warm, 3),
+        "cold_s": round(cold, 1),
+        "fresh_s": round(fresh, 2),
+        "proof_bytes": proof.size_bytes(),
+        "columns": air.num_cols,
+        "rows": air.num_rows,
+        "stage_s": stage_s,
+    }
+    print(json.dumps(headline), flush=True)
+
+    extras = {}
+    if time.time() - start < budget:
+        t0 = time.time()
+        verify(air, proof, pis, config)
+        extras["verify_s"] = round(time.time() - t0, 2)
 
     # true fresh-statement end-to-end: regenerate the trace ON DEVICE
     # (FillRecorder.flush_device — only prepared limb inputs cross the
-    # link) and prove, twice (first pays the expansion jit compile)
-    e2e = {}
-    if gen_args is not None and os.environ.get("BENCH_E2E", "1") == "1":
+    # link) and prove, twice (first pays the expansion jit compile).
+    # Opt-in only: its first compile can take >1h and must never sit
+    # between the driver and the headline JSON (round-2 bench timeout).
+    if (
+        gen_args is not None
+        and os.environ.get("BENCH_E2E", "0") == "1"
+        and time.time() - start < budget
+    ):
         try:
             args = gen_args()
             t0 = time.time()
             trace_dev, pis_e = air.generate_trace(*args, device=True)
             proof_e = prover.prove(trace_dev, pis_e)
-            e2e["e2e_cold_s"] = round(time.time() - t0, 2)
+            extras["e2e_cold_s"] = round(time.time() - t0, 2)
             t0 = time.time()
             trace_dev, pis_e = air.generate_trace(*args, device=True)
             proof_e = prover.prove(trace_dev, pis_e)
-            e2e["fresh_e2e_s"] = round(time.time() - t0, 3)
+            extras["fresh_e2e_s"] = round(time.time() - t0, 3)
             verify(air, proof_e, pis_e, config)
         except Exception as exc:  # never fail the headline on the e2e extra
-            e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"[:200]}
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(warm, 3),
-                "unit": "s",
-                "vs_baseline": round(baseline / warm, 3),
-                "cold_s": round(cold, 1),
-                "fresh_s": round(fresh, 2),
-                **e2e,
-                "proof_bytes": proof.size_bytes(),
-                "columns": air.num_cols,
-                "rows": air.num_rows,
-                "stage_s": stage_s,
-            }
-        )
-    )
+            extras["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # supplemental record (headline + extras) for bench_results/
+    out = os.environ.get("BENCH_RECORD")
+    if out:
+        with open(out, "w") as f:
+            json.dump({**headline, **extras}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -82,18 +82,58 @@ def fill_permutation(trace: np.ndarray, base_row: int, state):
 
 def fill_nonround_witnesses(trace: np.ndarray, consts: np.ndarray) -> None:
     """Satisfy the ungated witness identities on non-round rows (rc = 0
-    there, so w3 = s^3 etc. hold by fill)."""
-    P = gl.P
-    for row in range(trace.shape[0]):
-        if consts[row, C_ROUND]:
-            continue
-        for i in range(WIDTH):
-            t = int(trace[row, S + i])
-            w3 = t * t % P * t % P
-            trace[row, W3 + i] = w3
-            trace[row, W6 + i] = w3 * w3 % P
-            if i == 0:
-                trace[row, U] = (w3 * w3 % P) * t % P
+    there, so w3 = s^3 etc. hold by fill). Vectorized over all rows."""
+    rows = np.nonzero(consts[: trace.shape[0], C_ROUND] == 0)[0]
+    if rows.shape[0] == 0:
+        return
+    t = trace[rows, S : S + WIDTH]
+    w3 = gl.gl_mul(gl.gl_mul(t, t), t)
+    w6 = gl.gl_mul(w3, w3)
+    trace[rows[:, None], np.arange(W3, W3 + WIDTH)[None, :]] = w3
+    trace[rows[:, None], np.arange(W6, W6 + WIDTH)[None, :]] = w6
+    trace[rows, U] = gl.gl_mul(w6[:, 0], t[:, 0])
+
+
+def permute_record(states: np.ndarray):
+    """Batched textbook-form permutation with full witness capture.
+
+    `states`: (B, 12) uint64. Returns `(blocks, out)` where `blocks` is a
+    (B, ROWS_PER_PERM, BLOCK_COLS) uint64 tensor holding each permutation
+    window's [S | W3 | W6 | U] column block (result row: S only; its
+    ungated witness lanes are later satisfied by
+    `fill_nonround_witnesses`) and `out` is the (B, 12) output state.
+    Bit-identical to `fill_permutation` row by row."""
+    xp = gl._xp(states)
+    B = states.shape[0]
+    blocks = xp.zeros((B, ROWS_PER_PERM, BLOCK_COLS), dtype=xp.uint64)
+    s = states
+    mds = ps._MDS_NP if xp is np else xp.asarray(ps._MDS_NP)
+    rc = ps._RC_NP if xp is np else xp.asarray(ps._RC_NP)
+    for r in range(N_ROUNDS):
+        tmp = gl.gl_add(s, rc[r][None, :])
+        w3 = gl.gl_mul(gl.gl_mul(tmp, tmp), tmp)
+        w6 = gl.gl_mul(w3, w3)
+        if round_is_full(r):
+            u = gl.gl_mul(w6, tmp)
+        else:
+            u = xp.concatenate([gl.gl_mul(w6[:, :1], tmp[:, :1]), tmp[:, 1:]], axis=1)
+        blocks[:, r, S : S + WIDTH] = s
+        blocks[:, r, W3 : W3 + WIDTH] = w3
+        blocks[:, r, W6 : W6 + WIDTH] = w6
+        blocks[:, r, U : U + WIDTH] = u
+        # s' = MDS @ u (MDS is symmetric: mds[j, i] == mds[i, j])
+        s = gl.gl_sum(gl.gl_mul(u[:, None, :], mds[None, :, :]), axis=-1)
+    blocks[:, N_ROUNDS, S : S + WIDTH] = s
+    return blocks, s
+
+
+def scatter_blocks(trace: np.ndarray, base_rows: np.ndarray, blocks: np.ndarray) -> None:
+    """Write (B, ROWS_PER_PERM, BLOCK_COLS) permutation windows at
+    `base_rows` (B,) into the trace's poseidon block columns. Windows are
+    31-row aligned and never overlap, so plain fancy-index assignment is a
+    unique-index scatter."""
+    rows = (np.asarray(base_rows, dtype=np.int64)[:, None] + np.arange(ROWS_PER_PERM)[None, :]).reshape(-1)
+    trace[rows[:, None], np.arange(BLOCK_COLS)[None, :]] = blocks.reshape(-1, BLOCK_COLS)
 
 
 def eval_block(ctx):

@@ -19,7 +19,7 @@ every FRI query of an inner `StarkProof`,
 
 The outer verifier (verify_recursive) keeps the cheap scalar work
 native — transcript replay, grinding, the quotient identity at zeta,
-final-poly evaluation, and every index-derived selector (path bits,
+final-poly evaluation, and every index-derived selector (mine flags,
 1/(2x) tables, cap-entry selection) — each a pure function of public,
 transcript-bound data, supplied to the AIR as public inputs. This is
 stage (c) of docs/RECURSION.md's staged trust model.
@@ -29,12 +29,30 @@ COMPRESSION. A `CompressedProof` ships the inner proof's public part
 (caps + openings + final poly, KBs) plus one outer STARK proof; the
 query rounds — 60 MB for the wide BLS starks — never leave the prover.
 
-Layout: all Poseidon work (leaf sponges, digest trees, Merkle levels,
-FRI pair leaves) shares ONE poseidon_block column group, scheduled on
-disjoint 31-row windows; per-query scalars live in column registers
-pinned across the query's row region (the FinalExponentiateAir register
-idiom); the DEEP weight/accumulator chain rides extra columns updated on
-sponge absorb rows. Every constraint is degree <= 3 (rate-1 config).
+TPU-scalability design (what makes a 90k-column inner wrappable):
+
+* The segment-digest fold tree runs as a STREAMING Merkle stack
+  interleaved with the segment sponges: completing segment s pushes its
+  digest and equal-depth subtree digests merge immediately (a binary
+  counter), so at most log2(segments)+1 digest registers are live. A
+  register per tree NODE would pin 255 * CAP = 1020 columns across the
+  query region; the stack holds it at 8 * CAP (~9x smaller trace).
+* Row bindings that recur at many schedule rows (fresh sponge states,
+  digest pushes into a stack slot, merge input/output wiring, Merkle
+  path chaining) are gated by CONSTANT COLUMNS, not per-row Lagrange
+  filters: a ("row", k) filter costs an LDE-length vector in the
+  prover, and a wide wrap has hundreds of such rows per query (~GBs of
+  filter tables). With constant gating, only ~10 one-off rows per query
+  (chain starts, DEEP scalars, cap bindings) remain row-filtered.
+* Merkle path direction bits live in a witness column constrained
+  boolean, with a position accumulator column that sums bit_v * 2^v
+  along each path and is bound once, at the path's cap-binding row, to
+  the query index public input — replacing per-level public-input bit
+  bindings (and their per-level row filters).
+* Trace generation is fully batched: every permutation in the schedule
+  advances through `poseidon_block.permute_record` in (queries x
+  segments)-wide lanes, so an 84-query wrap of a 90k-column inner fills
+  in seconds instead of hours.
 """
 
 from __future__ import annotations
@@ -63,14 +81,24 @@ RPP = pb.ROWS_PER_PERM  # 31
 SIB = pb.BLOCK_COLS  # 4: merkle sibling digests
 WCH = SIB + CAP  # 16: DEEP weights w_0..w_7 as ext pairs
 ACCC = WCH + 2 * RATE  # 2: DEEP accumulator (ext)
-REG0 = ACCC + 2  # register file start
+BITC = ACCC + 2  # 1: merkle path direction bit (boolean at select rows)
+POSA = BITC + 1  # 1: path position accumulator (sum of bit_v * 2^v)
+TSTK0 = POSA + 1  # trace digest stack slots (nslot_t * CAP columns)
 
 # constant columns after the shared poseidon block constants
 C_CARRY = pb.C_TOTAL  # sponge capacity-carry result rows
 C_DEEPW = pb.C_TOTAL + 1  # absorb rows: weight/acc update on the transition
 C_PINW = pb.C_TOTAL + 2  # weight/acc pin rows
-C_PINREG = pb.C_TOTAL + 3  # register pin rows
-C_TOTAL = pb.C_TOTAL + 4
+C_PINREG = pb.C_TOTAL + 3  # scalar-register pin rows
+C_FRESH = pb.C_TOTAL + 4  # segment first-block rows: capacity lanes zero
+C_P0T = pb.C_TOTAL + 5  # trace path level-0 load rows
+C_P0Q = pb.C_TOTAL + 6  # quotient path level-0 load rows
+C_PATHC = pb.C_TOTAL + 7  # chained path select rows (result-row handoff)
+C_PSEL = pb.C_TOTAL + 8  # all path select rows: bit boolean + pos increment
+C_PPOW = pb.C_TOTAL + 9  # 2^level at select rows
+C_PPIN = pb.C_TOTAL + 10  # position-accumulator pin rows within a path
+C_PSTART = pb.C_TOTAL + 11  # path start rows: POSA == 0
+C_STKPIN0 = pb.C_TOTAL + 12  # per-stack-slot pin rows (trace slots, then quotient)
 
 _INV2 = gl.inv_s(2)
 _W = gl.W_EXT
@@ -114,17 +142,26 @@ class RecursiveVerifierAir(Air):
         _, self.st, self.ksegt = ps.leaf_plan(self.C)
         _, self.sq, self.ksegq = ps.leaf_plan(self.nq)
         self.final_len = (self.n0 >> self.L) // inner_config.blowup
+        # streaming digest stacks: at most log2(segments)+1 live slots
+        self.nslot_t = self.st.bit_length()  # st is a power of two
+        self.nslot_q = self.sq.bit_length()
+        self.QSTK0 = TSTK0 + self.nslot_t * CAP
+        self.REG0 = self.QSTK0 + self.nslot_q * CAP
+        # per-slot push-row / merge-row constant selectors
+        self.C_PUSH_T = C_STKPIN0 + self.nslot_t + self.nslot_q
+        self.C_PUSH_Q = self.C_PUSH_T + self.nslot_t
+        self.C_MRG_T = self.C_PUSH_Q + self.nslot_q
+        self.C_MRG_Q = self.C_MRG_T + max(0, self.nslot_t - 1)
+        self.c_total = self.C_MRG_Q + max(0, self.nslot_q - 1)
 
-        # ---- register file (columns; values pinned per query region) ----
-        cur = [REG0]
+        # ---- scalar register file (columns; one value per query region) --
+        cur = [self.REG0]
 
         def alloc(k):
             c = cur[0]
             cur[0] += k
             return c
 
-        self.R_TN = [alloc(CAP) for _ in range(2 * self.st - 1)]  # trace digest tree
-        self.R_QN = [alloc(CAP) for _ in range(2 * self.sq - 1)]  # quotient digest tree
         self.R_A = alloc(2)  # trace part of the r1 DEEP sum
         self.R_R1X = alloc(2)  # full r1(x)
         self.R_IV1 = alloc(2)  # 1/(x - zeta)
@@ -156,10 +193,9 @@ class RecursiveVerifierAir(Air):
         self.PI_R1Z = take(2)
         self.PI_R2Z = take(2)
         self.PI_BETAS = take(2 * self.L)
-        self.PI_Q = []  # per-query sub-layout
         per_q = {}
         per_q["x"] = take(1)
-        per_q["bits"] = take(self.depth)  # low index bits (trace+quotient paths)
+        per_q["ixlow"] = take(1)  # index & (2^depth - 1): path position bound
         per_q["tcap"] = take(CAP)
         per_q["qcap"] = take(CAP)
         per_q["layers"] = []
@@ -168,7 +204,7 @@ class RecursiveVerifierAir(Air):
                 {
                     "mine": take(1),
                     "xinv": take(1),  # 1/(2 * x_pos_l)
-                    "bits": take(self.depth_l[l]),
+                    "poslow": take(1),  # pos_in & (2^depth_l - 1)
                     "fcap": take(CAP),
                 }
             )
@@ -193,29 +229,21 @@ class RecursiveVerifierAir(Air):
             return base
 
         p = {}
-        # trace leaf: segment sponges (chained perms per segment)
-        p["t_seg"] = []
-        t_absorb = []
-        for _seg in range(self.st):
-            blocks = [perm() for _ in range(self.ksegt)]
-            t_absorb.extend(blocks)
-            p["t_seg"].append((blocks, blocks[-1] + N_ROUNDS))  # (bases, digest row)
+        # trace leaf: segment sponges interleaved with the streaming
+        # digest-stack merges (binary counter over completed segments)
+        p["t_seg"], p["t_merge"], p["t_push"], t_absorb = self._leaf_plan_sched(
+            self.st, self.ksegt, perm
+        )
         p["t_absorb"] = t_absorb
         p["t_span"] = (t_absorb[0], p["t_seg"][-1][1])  # weight chain live range
-        # trace digest fold tree over R_TN registers
-        p["t_tree"] = self._tree_plan(self.st, perm)
         # trace merkle path
         p["t_path"] = [perm() for _ in range(self.depth)]
-        # quotient leaf + tree + path
-        p["q_seg"] = []
-        q_absorb = []
-        for _seg in range(self.sq):
-            blocks = [perm() for _ in range(self.ksegq)]
-            q_absorb.extend(blocks)
-            p["q_seg"].append((blocks, blocks[-1] + N_ROUNDS))
+        # quotient leaf + stack + path
+        p["q_seg"], p["q_merge"], p["q_push"], q_absorb = self._leaf_plan_sched(
+            self.sq, self.ksegq, perm
+        )
         p["q_absorb"] = q_absorb
         p["q_span"] = (q_absorb[0], p["q_seg"][-1][1])
-        p["q_tree"] = self._tree_plan(self.sq, perm)
         p["q_path"] = [perm() for _ in range(self.depth)]
         # FRI layers: pair perm + path
         p["fri"] = []
@@ -227,54 +255,134 @@ class RecursiveVerifierAir(Air):
         p["rows"] = r[0] + 1  # one spare row: region-final pin break
         return p
 
-    def _tree_plan(self, s, perm):
-        """Fold-tree perms pairing adjacent nodes (matches
-        fold_segment_digests): list of (perm_base, a_node, b_node, out_node).
-        Node ids index R_TN/R_QN: leaves 0..s-1, internals s..2s-2."""
-        nodes = list(range(s))
-        nxt = s
-        out = []
-        while len(nodes) > 1:
-            paired = []
-            for i in range(0, len(nodes), 2):
-                out.append((perm(), nodes[i], nodes[i + 1], nxt))
-                paired.append(nxt)
-                nxt += 1
-            nodes = paired
-        return out
+    def _leaf_plan_sched(self, s, kseg, perm):
+        """Schedule s segment sponges (kseg chained perms each) with the
+        streaming merge stack. Returns (segs, merges, pushes, absorb_rows):
+          segs:    [(block_bases, digest_row, push_slot)] per segment
+          merges:  [(perm_base, a_slot, b_slot, level, out_pair)] — output
+                   (a level+1 tree node) lands back in a_slot
+          pushes:  [(row, slot, ref)] in row order; ref = (level, node)
+          absorb_rows: every sponge block base, in chunk-consumption order
+        """
+        segs, merges, pushes, absorbs = [], [], [], []
+        stack = []  # (depth, node_index_at_depth)
+        for seg in range(s):
+            blocks = [perm() for _ in range(kseg)]
+            absorbs.extend(blocks)
+            dig_row = blocks[-1] + N_ROUNDS
+            stack.append((0, seg))
+            slot = len(stack) - 1
+            segs.append((blocks, dig_row, slot))
+            pushes.append((dig_row, slot, (0, seg)))
+            while len(stack) >= 2 and stack[-1][0] == stack[-2][0]:
+                base = perm()
+                d, nb = stack.pop()
+                _d, na = stack.pop()
+                assert na == nb - 1 and na % 2 == 0
+                a_slot = len(stack)
+                merges.append((base, a_slot, a_slot + 1, d, na // 2))
+                stack.append((d + 1, na // 2))
+                pushes.append((base + N_ROUNDS, a_slot, (d + 1, na // 2)))
+        assert len(stack) == 1, "segment count must be a power of two"
+        return segs, merges, pushes, absorbs
+
+    def _paths(self):
+        """Every Merkle path in one query region, with its select rows:
+        yields (path_bases, select_rows, capbind_row, kind) where kind is
+        't' / 'q' (level 0 loads from a stack-root register) or 'f'
+        (level 0 chains from the preceding FRI pair permutation)."""
+        p = self.plan
+        for bases, kind in ((p["t_path"], "t"), (p["q_path"], "q")):
+            sels = [bases[0]] + [b - 1 for b in bases[1:]]
+            yield bases, sels, bases[-1] + N_ROUNDS, kind
+        for pair_base, bases in p["fri"]:
+            if not bases:
+                continue
+            sels = [pair_base + N_ROUNDS] + [b - 1 for b in bases[1:]]
+            yield bases, sels, bases[-1] + N_ROUNDS, "f"
 
     # ------------------------------------------------------------------
     # constants
     # ------------------------------------------------------------------
     def constant_columns(self):
-        out = np.zeros((self.num_rows, C_TOTAL), dtype=np.uint64)
+        """All constant columns are identical across query regions, so one
+        (rows_per_query, c_total) template is built with vectorized writes
+        and tiled over the Q regions (padding rows stay zero)."""
+        rpq = self.rows_per_query
         p = self.plan
-        for q in range(self.Q):
-            r0 = q * self.rows_per_query
-            for base in p["perms"]:
-                pb.write_round_constants(out, r0 + base)
-            # capacity carry within each multi-chunk segment
-            for seg_list in (p["t_seg"], p["q_seg"]):
-                for blocks, _dig in seg_list:
-                    for b in blocks[1:]:
-                        out[r0 + b - 1, C_CARRY] = 1
-            # DEEP weight chain: updates on absorb rows, pins elsewhere
-            for span, absorbs in ((p["t_span"], p["t_absorb"]), (p["q_span"], p["q_absorb"])):
-                lo, hi = span
-                for rr in range(lo, hi):
-                    out[r0 + rr, C_PINW] = 1
-                for a in absorbs:
-                    out[r0 + a, C_PINW] = 0
-                    out[r0 + a, C_DEEPW] = 1
-            # registers pinned across the region (break on its last row)
-            out[r0 : r0 + self.rows_per_query - 1, C_PINREG] = 1
+        tpl = np.zeros((rpq, self.c_total), dtype=np.uint64)
+        # poseidon round-constant block, vectorized over every permutation
+        bases = np.asarray(p["perms"], dtype=np.int64)
+        rows = (bases[:, None] + np.arange(N_ROUNDS)[None, :]).reshape(-1)
+        tpl[rows[:, None], np.arange(pb.C_RC, pb.C_RC + WIDTH)[None, :]] = np.tile(
+            ps._RC_NP, (bases.shape[0], 1)
+        )
+        tpl[rows, pb.C_ROUND] = 1
+        fullv = np.asarray([1 if pb.round_is_full(r) else 0 for r in range(N_ROUNDS)], dtype=np.uint64)
+        tpl[rows, pb.C_FULL] = np.tile(fullv, bases.shape[0])
+        tpl[rows, pb.C_PARTIAL] = np.tile(1 - fullv, bases.shape[0])
+        # sponge wiring: capacity carry within a segment, fresh first blocks
+        for seg_list in (p["t_seg"], p["q_seg"]):
+            for blocks, _dig, _slot in seg_list:
+                tpl[blocks[0], C_FRESH] = 1
+                for b in blocks[1:]:
+                    tpl[b - 1, C_CARRY] = 1
+        # DEEP weight chain: updates on absorb rows, pins elsewhere
+        for span, absorbs in ((p["t_span"], p["t_absorb"]), (p["q_span"], p["q_absorb"])):
+            lo, hi = span
+            tpl[lo:hi, C_PINW] = 1
+            ab = np.asarray(absorbs, dtype=np.int64)
+            tpl[ab, C_PINW] = 0
+            tpl[ab, C_DEEPW] = 1
+        # scalar registers pinned across the region (break on its last row)
+        tpl[: rpq - 1, C_PINREG] = 1
+        # digest-stack slots: pinned except where a push lands a new value;
+        # push rows and merge rows get their per-slot selectors
+        for side, (pushes, merges, nslot) in enumerate(
+            (
+                (p["t_push"], p["t_merge"], self.nslot_t),
+                (p["q_push"], p["q_merge"], self.nslot_q),
+            )
+        ):
+            pin0 = C_STKPIN0 + (self.nslot_t if side else 0)
+            push0 = self.C_PUSH_Q if side else self.C_PUSH_T
+            mrg0 = self.C_MRG_Q if side else self.C_MRG_T
+            tpl[: rpq - 1, pin0 : pin0 + nslot] = 1
+            for row, slot, _ref in pushes:
+                tpl[row - 1, pin0 + slot] = 0
+                tpl[row, push0 + slot] = 1
+            for base, a_slot, _b, _lvl, _pair in merges:
+                tpl[base, mrg0 + a_slot] = 1
+        # merkle paths: select rows, powers, position pinning, starts
+        for bases, sels, capbind, kind in self._paths():
+            tpl[sels[0], C_PSTART] = 1
+            mask = np.ones(capbind - sels[0], dtype=bool)
+            for v, srow in enumerate(sels):
+                tpl[srow, C_PSEL] = 1
+                tpl[srow, C_PPOW] = 1 << v
+                mask[srow - sels[0]] = False
+            pin_rows = sels[0] + np.nonzero(mask)[0]
+            tpl[pin_rows, C_PPIN] = 1
+            if kind == "t":
+                tpl[bases[0], C_P0T] = 1
+            elif kind == "q":
+                tpl[bases[0], C_P0Q] = 1
+            else:
+                tpl[sels[0], C_PATHC] = 1
+            for srow in sels[1:]:
+                tpl[srow, C_PATHC] = 1
+        out = np.zeros((self.num_rows, self.c_total), dtype=np.uint64)
+        out[: self.Q * rpq] = np.tile(tpl, (self.Q, 1))
         return out
 
     # ------------------------------------------------------------------
     # constraints
     # ------------------------------------------------------------------
-    def _pin_ext(self, ctx, col):
-        return (ctx.local(col), ctx.local(col + 1))
+    def _tslot(self, d):
+        return TSTK0 + d * CAP
+
+    def _qslot(self, d):
+        return self.QSTK0 + d * CAP
 
     def eval(self, ctx):
         s, s_next = pb.eval_block(ctx)
@@ -285,12 +393,61 @@ class RecursiveVerifierAir(Air):
 
         # capacity carry at marked result rows (next block overwrites rate)
         ctx.constraint_transition(c_carry[None] * (ctx.next(pb.S + RATE, WIDTH - RATE) - s[RATE:]))
+        # fresh sponge states: capacity lanes zero on segment first blocks
+        ctx.constraint(ctx.const(C_FRESH)[None] * s[RATE:])
 
-        # register pinning
-        npin = self.num_cols - REG0
+        # scalar register pinning
+        npin = self.num_cols - self.REG0
         ctx.constraint_transition(
-            c_pinreg[None] * (ctx.next(REG0, npin) - ctx.local(REG0, npin))
+            c_pinreg[None] * (ctx.next(self.REG0, npin) - ctx.local(self.REG0, npin))
         )
+        # digest-stack slots: pinning, push bindings, merge wiring
+        for side in range(2):
+            nslot = self.nslot_q if side else self.nslot_t
+            slot_of = self._qslot if side else self._tslot
+            pin0 = C_STKPIN0 + (self.nslot_t if side else 0)
+            push0 = self.C_PUSH_Q if side else self.C_PUSH_T
+            mrg0 = self.C_MRG_Q if side else self.C_MRG_T
+            for d in range(nslot):
+                pin = ctx.const(pin0 + d)
+                col = slot_of(d)
+                ctx.constraint_transition(pin[None] * (ctx.next(col, CAP) - ctx.local(col, CAP)))
+                # a digest landing in slot d equals the permutation output
+                c_push = ctx.const(push0 + d)
+                ctx.constraint(c_push[None] * (s[:CAP] - ctx.local(col, CAP)))
+            for a in range(nslot - 1):
+                c_mrg = ctx.const(mrg0 + a)
+                ctx.constraint(c_mrg[None] * (s[:CAP] - ctx.local(slot_of(a), CAP)))
+                ctx.constraint(c_mrg[None] * (s[CAP : 2 * CAP] - ctx.local(slot_of(a + 1), CAP)))
+                ctx.constraint(c_mrg[None] * s[2 * CAP :])
+
+        # merkle path machinery: boolean bits, position accumulator,
+        # level-0 loads and chained result-row handoffs
+        b = ctx.local(BITC)
+        pos = ctx.local(POSA)
+        pos_next = ctx.next(POSA)
+        c_psel = ctx.const(C_PSEL)
+        c_ppow = ctx.const(C_PPOW)
+        c_ppin = ctx.const(C_PPIN)
+        ctx.constraint(c_psel * b * (1 - b))
+        ctx.constraint(ctx.const(C_PSTART) * pos)
+        ctx.constraint_transition(c_psel * (pos_next - pos - b * c_ppow))
+        ctx.constraint_transition(c_ppin * (pos_next - pos))
+        sib = ctx.local(SIB, CAP)
+        for c_col, leaf_col in ((C_P0T, self._tslot(0)), (C_P0Q, self._qslot(0))):
+            c0 = ctx.const(c_col)
+            leaf = ctx.local(leaf_col, CAP)
+            ctx.constraint(c0[None] * (s[:CAP] - (b[None] * sib + (1 - b)[None] * leaf)))
+            ctx.constraint(c0[None] * (s[CAP : 2 * CAP] - (b[None] * leaf + (1 - b)[None] * sib)))
+            ctx.constraint(c0[None] * s[2 * CAP :])
+        c_pathc = ctx.const(C_PATHC)
+        cur = s[:CAP]
+        nxt_lo = ctx.next(pb.S, CAP)
+        nxt_hi = ctx.next(pb.S + CAP, CAP)
+        nxt_cap = ctx.next(pb.S + 2 * CAP, WIDTH - 2 * CAP)
+        ctx.constraint_transition(c_pathc[None] * (nxt_lo - (b[None] * sib + (1 - b)[None] * cur)))
+        ctx.constraint_transition(c_pathc[None] * (nxt_hi - (b[None] * cur + (1 - b)[None] * sib)))
+        ctx.constraint_transition(c_pathc[None] * nxt_cap)
 
         # DEEP weight/acc chain
         gamma = (ctx.pi(self.PI_GAMMA), ctx.pi(self.PI_GAMMA + 1))
@@ -322,7 +479,7 @@ class RecursiveVerifierAir(Air):
         wa = ctx.local(WCH, 2 * RATE + 2)
         ctx.constraint_transition(c_pinw[None] * (ctx.next(WCH, 2 * RATE + 2) - wa))
 
-        # per-query fixed-row wiring
+        # per-query fixed-row wiring (the few one-off rows)
         for q in range(self.Q):
             self._eval_query(ctx, q, s, s_next)
 
@@ -338,9 +495,6 @@ class RecursiveVerifierAir(Air):
             base = self.per_q[field] if layer is None else self.per_q["layers"][layer][field]
             return ctx.pi(base + q * self.per_q_size, width)
 
-        def reg(col, width=2):
-            return ctx.local(col, width)
-
         def rext(col):
             return (ctx.local(col), ctx.local(col + 1))
 
@@ -353,60 +507,34 @@ class RecursiveVerifierAir(Air):
         r1z = (ctx.pi(self.PI_R1Z), ctx.pi(self.PI_R1Z + 1))
         r2z = (ctx.pi(self.PI_R2Z), ctx.pi(self.PI_R2Z + 1))
         x = qpi("x")
+        ixlow = qpi("ixlow")
 
-        # ---- trace leaf sponges ----------------------------------------
+        # ---- DEEP chain boundary rows ------------------------------------
         first_absorb = p["t_absorb"][0]
         # chain start: W = [1, gamma, ...] enforced by within-row chain + W0==1
         ctx.constraint(ctx.local(WCH) - 1, ROW(first_absorb))
         ctx.constraint(ctx.local(WCH + 1), ROW(first_absorb))
         ctx.constraint(ctx.local(ACCC), ROW(first_absorb))
         ctx.constraint(ctx.local(ACCC + 1), ROW(first_absorb))
-        for seg_i, (blocks, dig_row) in enumerate(p["t_seg"]):
-            # fresh sponge state: capacity lanes zero on the first block
-            ctx.constraint(s[RATE:], ROW(blocks[0]))
-            # segment digest -> leaf register
-            ctx.constraint(s[:CAP] - reg(self.R_TN[seg_i], CAP), ROW(dig_row))
         # A register == trace-part DEEP sum at the sponge end
         span_end = p["t_span"][1]
         ctx.constraint(ctx.local(ACCC) - ctx.local(self.R_A), ROW(span_end))
         ctx.constraint(ctx.local(ACCC + 1) - ctx.local(self.R_A + 1), ROW(span_end))
-
-        # ---- digest fold trees ------------------------------------------
-        for tree, regs in ((p["t_tree"], self.R_TN), (p["q_tree"], self.R_QN)):
-            for base, a, b, out in tree:
-                ctx.constraint(s[:CAP] - reg(regs[a], CAP), ROW(base))
-                ctx.constraint(s[CAP : 2 * CAP] - reg(regs[b], CAP), ROW(base))
-                ctx.constraint(s[2 * CAP :], ROW(base))
-                ctx.constraint(s[:CAP] - reg(regs[out], CAP), ROW(base + N_ROUNDS))
-
-        # ---- merkle paths (trace + quotient share the index bits) -------
-        for path, root_reg, cap_field in (
-            (p["t_path"], self.R_TN[2 * self.st - 2], "tcap"),
-            (p["q_path"], self.R_QN[2 * self.sq - 2], "qcap"),
-        ):
-            self._eval_merkle(
-                ctx,
-                ROW,
-                s,
-                s_next,
-                path,
-                lambda w=CAP, rr=root_reg: ctx.local(rr, w),
-                [qpi("bits", v) for v in range(self.depth)],
-                qpi_vec(cap_field, CAP),
-            )
-
-        # ---- quotient sponge chain start ---------------------------------
+        # quotient sponge chain start / end
         qa0 = p["q_absorb"][0]
         ctx.constraint(ctx.local(WCH) - gq[0], ROW(qa0))
         ctx.constraint(ctx.local(WCH + 1) - gq[1], ROW(qa0))
         ctx.constraint(ctx.local(ACCC) - ctx.local(self.R_A), ROW(qa0))
         ctx.constraint(ctx.local(ACCC + 1) - ctx.local(self.R_A + 1), ROW(qa0))
-        for seg_i, (blocks, dig_row) in enumerate(p["q_seg"]):
-            ctx.constraint(s[RATE:], ROW(blocks[0]))
-            ctx.constraint(s[:CAP] - reg(self.R_QN[seg_i], CAP), ROW(dig_row))
         qspan_end = p["q_span"][1]
         ctx.constraint(ctx.local(ACCC) - ctx.local(self.R_R1X), ROW(qspan_end))
         ctx.constraint(ctx.local(ACCC + 1) - ctx.local(self.R_R1X + 1), ROW(qspan_end))
+
+        # ---- path cap + position bindings ---------------------------------
+        for path, cap_field in ((p["t_path"], "tcap"), (p["q_path"], "qcap")):
+            capbind = path[-1] + N_ROUNDS
+            ctx.constraint(s[:CAP] - qpi_vec(cap_field, CAP), ROW(capbind))
+            ctx.constraint(ctx.local(POSA) - ixlow, ROW(capbind))
 
         # ---- DEEP scalars (registers; constraints at the region row 0) ---
         iv1 = rext(self.R_IV1)
@@ -457,21 +585,14 @@ class RecursiveVerifierAir(Air):
             e = _esub(fv, fold)
             ctx.constraint(e[0], ROW(pair_base))
             ctx.constraint(e[1], ROW(pair_base))
-            # path from the pair digest to the layer cap
+            # cap + position binding at the layer path's end (or, with no
+            # path levels, the pair digest IS the cap entry)
+            fcap = qpi_vec("fcap", CAP, layer=l)
             if path:
-                self._eval_merkle(
-                    ctx,
-                    ROW,
-                    s,
-                    s_next,
-                    path,
-                    lambda w=CAP, base=pair_base: None,  # leaf = perm result (chained below)
-                    [qpi("bits", v, layer=l) for v in range(self.depth_l[l])],
-                    qpi_vec("fcap", CAP, layer=l),
-                    leaf_result_row=pair_base + N_ROUNDS,
-                )
+                capbind = path[-1] + N_ROUNDS
+                ctx.constraint(s[:CAP] - fcap, ROW(capbind))
+                ctx.constraint(ctx.local(POSA) - qpi("poslow", layer=l), ROW(capbind))
             else:
-                fcap = qpi_vec("fcap", CAP, layer=l)
                 ctx.constraint(s[:CAP] - fcap, ROW(pair_base + N_ROUNDS))
 
         # final value binding (outer verifier evaluates the final poly)
@@ -486,38 +607,9 @@ class RecursiveVerifierAir(Air):
             ctx.constraint(val[0] - fin[0], ROW(0))
             ctx.constraint(val[1] - fin[1], ROW(0))
 
-    def _eval_merkle(self, ctx, ROW, s, s_next, path, leaf_fn, bits, cap_pi, leaf_result_row=None):
-        """Merkle path constraints over chained perm blocks.
-
-        Level 0's input either loads from a register leaf (`leaf_fn`) on
-        the first round row, or chains from a preceding perm's result row
-        (`leaf_result_row`, used by FRI pair leaves). Direction bits are
-        public inputs; sibling digests are witness cells (SIB columns) on
-        the binding row of each level."""
-        for v, base in enumerate(path):
-            bit = bits[v]
-            if v == 0 and leaf_result_row is None:
-                leaf = leaf_fn()
-                sib = ctx.local(SIB, CAP)
-                ctx.constraint(s[:CAP] - (bit * sib + (1 - bit) * leaf), ROW(base))
-                ctx.constraint(s[CAP : 2 * CAP] - (bit * leaf + (1 - bit) * sib), ROW(base))
-                ctx.constraint(s[2 * CAP :], ROW(base))
-            else:
-                # chain from the previous result row (leaf_result_row for
-                # v==0, else the previous level's result row)
-                prow = leaf_result_row if v == 0 else path[v - 1] + N_ROUNDS
-                cur = s[:CAP]
-                sib = ctx.local(SIB, CAP)
-                nxt_lo = ctx.next(pb.S, CAP)
-                nxt_hi = ctx.next(pb.S + CAP, CAP)
-                nxt_cap = ctx.next(pb.S + 2 * CAP, WIDTH - 2 * CAP)
-                ctx.constraint(nxt_lo - (bit * sib + (1 - bit) * cur), ROW(prow))
-                ctx.constraint(nxt_hi - (bit * cur + (1 - bit) * sib), ROW(prow))
-                ctx.constraint(nxt_cap, ROW(prow))
-        ctx.constraint(s[:CAP] - cap_pi, ROW(path[-1] + N_ROUNDS))
-
     # ------------------------------------------------------------------
-    # trace generation
+    # trace generation (fully batched: one permute_record call per
+    # schedule step, vectorized over queries x parallel lanes)
     # ------------------------------------------------------------------
     def generate_trace(self, proof: StarkProof, inner_pis, query_indices=None):
         """Builds the witness from a full inner proof (with query rounds)
@@ -530,183 +622,252 @@ class RecursiveVerifierAir(Air):
         d = derive_challenges(self.inner, proof, inner_pis, self.icfg)
         outer_pis = build_outer_pis(self, proof, d, query_indices)
         P = gl.P
-        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
-        consts = self.constant_columns()
+        Q = self.Q
+        rpq = self.rows_per_query
         p = self.plan
+        trace = np.zeros((self.num_rows, self.num_cols), dtype=np.uint64)
+        r0s = np.arange(Q, dtype=np.int64) * rpq
         gamma = d["gamma"]
         zeta, zeta_g = d["zeta"], d["zeta_g"]
         j1 = self.C + self.nq
-        weights = ext_powers(gamma, j1 + self.C)
-        r1z = _dot(weights[:j1], np.concatenate([proof.trace_local, proof.quotient_open]))
-        r2z = _dot(weights[j1:], proof.trace_next)
+        len_pt = self.st * self.ksegt * RATE
+        len_pq = self.sq * self.ksegq * RATE
+        wtab = ext_powers(gamma, max(j1 + self.C, self.C + len_pq + RATE, len_pt + RATE))
+        r1z = _dot(wtab[:j1], np.concatenate([proof.trace_local, proof.quotient_open]))
+        r2z = _dot(wtab[j1 : j1 + self.C], proof.trace_next)
         w_n0 = gl.primitive_root_of_unity(self.n0.bit_length() - 1)
+        qrs = [proof.fri.query_rounds[qi] for qi in query_indices]
 
-        for q, qi in enumerate(query_indices):
-            qr = proof.fri.query_rounds[qi]
-            r0 = q * self.rows_per_query
-            regs = {}
+        # dense register matrix: one value per (query, register column)
+        regmat = np.zeros((Q, rpq, self.num_cols - TSTK0), dtype=np.uint64)
 
-            def set_reg(col, vals):
-                vals = [int(v) % P for v in vals]
-                regs[col] = vals
-                trace[r0 : r0 + self.rows_per_query, col : col + len(vals)] = vals
+        def set_reg(col, vals):  # vals (Q, k) — pinned across each region
+            vals = np.asarray(vals, dtype=np.uint64)
+            regmat[:, :, col - TSTK0 : col - TSTK0 + vals.shape[1]] = vals[:, None, :]
 
-            # --- trace leaf sponges + DEEP chain -------------------------
-            row_vals = [int(v) % P for v in qr.trace_row]
-            padded_t = row_vals + [0] * (self.st * self.ksegt * RATE - self.C)
-            digs = self._fill_sponge(
-                trace, r0, p["t_seg"], padded_t, gamma, 1, (0, 0), p["t_span"]
-            )
-            for i, dg in enumerate(digs):
-                set_reg(self.R_TN[i], dg)
-            a_val = self._acc_after(padded_t, weights[: len(padded_t)])
-            set_reg(self.R_A, a_val)
-            # --- trace digest tree ---------------------------------------
-            self._fill_tree(trace, r0, p["t_tree"], self.R_TN, regs, set_reg)
-            # --- trace merkle path ---------------------------------------
-            index = qr.index
-            self._fill_merkle(
-                trace, r0, p["t_path"], regs[self.R_TN[2 * self.st - 2]],
-                qr.trace_path, index,
-            )
-            # --- quotient sponge + tree + path ---------------------------
-            q_vals = [int(v) % P for v in qr.quotient_row]
-            padded_q = q_vals + [0] * (self.sq * self.ksegq * RATE - self.nq)
-            gq = gl.ext_pow(gamma, self.C)
-            digs = self._fill_sponge(
-                trace, r0, p["q_seg"], padded_q, gamma, gq, tuple(a_val), p["q_span"]
-            )
-            for i, dg in enumerate(digs):
-                set_reg(self.R_QN[i], dg)
-            r1x = self._acc_after(padded_q, _wmul(ext_powers(gamma, len(padded_q)), gq), start=tuple(a_val))
-            set_reg(self.R_R1X, r1x)
-            self._fill_tree(trace, r0, p["q_tree"], self.R_QN, regs, set_reg)
-            self._fill_merkle(
-                trace, r0, p["q_path"], regs[self.R_QN[2 * self.sq - 2]],
-                qr.quotient_path, index,
-            )
-            # --- DEEP scalars ---------------------------------------------
-            x = SHIFT * pow(w_n0, index, P) % P
+        # ---- trace leaf: sponges + streaming stack + DEEP chain ---------
+        padded_t = np.zeros((Q, len_pt), dtype=np.uint64)
+        padded_t[:, : self.C] = np.stack([np.asarray(qr.trace_row, dtype=np.uint64) for qr in qrs]) % np.uint64(P)
+        levels_t = self._fill_leaf(trace, r0s, p["t_seg"], p["t_merge"], padded_t)
+        self._fill_stack_regs(regmat, p["t_push"], levels_t, TSTK0)
+        acc_t = self._fill_chain(trace, r0s, p["t_absorb"], p["t_span"], padded_t, wtab, 0, None)
+        a_val = acc_t[:, -1]  # (Q, 2) trace-part DEEP sums
+        set_reg(self.R_A, a_val)
+        # ---- trace merkle path ------------------------------------------
+        indices = np.asarray([qr.index for qr in qrs], dtype=np.int64)
+        self._fill_merkle(
+            trace, r0s, p["t_path"], levels_t[-1][:, 0],
+            np.stack([np.stack(qr.trace_path) for qr in qrs]), indices,
+        )
+        # ---- quotient leaf + stack + chain + path ------------------------
+        padded_q = np.zeros((Q, len_pq), dtype=np.uint64)
+        padded_q[:, : self.nq] = np.stack([np.asarray(qr.quotient_row, dtype=np.uint64) for qr in qrs]) % np.uint64(P)
+        levels_q = self._fill_leaf(trace, r0s, p["q_seg"], p["q_merge"], padded_q)
+        self._fill_stack_regs(regmat, p["q_push"], levels_q, self.QSTK0)
+        acc_q = self._fill_chain(trace, r0s, p["q_absorb"], p["q_span"], padded_q, wtab, self.C, a_val)
+        r1x = acc_q[:, -1]
+        set_reg(self.R_R1X, r1x)
+        self._fill_merkle(
+            trace, r0s, p["q_path"], levels_q[-1][:, 0],
+            np.stack([np.stack(qr.quotient_path) for qr in qrs]), indices,
+        )
+        # ---- DEEP scalars -------------------------------------------------
+        gp2 = gl.ext_pow(gamma, self.C + self.nq)
+        iv1s, iv2s, values = [], [], []
+        for q in range(Q):
+            x = SHIFT * pow(w_n0, int(indices[q]), P) % P
             iv1 = gl.ext_inv(gl.ext_sub((x, 0), zeta))
             iv2 = gl.ext_inv(gl.ext_sub((x, 0), zeta_g))
-            set_reg(self.R_IV1, iv1)
-            set_reg(self.R_IV2, iv2)
-            gp2 = gl.ext_pow(gamma, self.C + self.nq)
-            f1 = gl.ext_mul(gl.ext_sub(tuple(r1x), r1z), iv1)
-            f2 = gl.ext_mul(gl.ext_sub(gl.ext_mul(gp2, tuple(a_val)), r2z), iv2)
-            value = gl.ext_add(f1, f2)
-            set_reg(self.R_VAL, value)
-            # --- FRI layers -------------------------------------------------
-            pos = index
-            shift_l, root_l, size_l = SHIFT, w_n0, self.n0
-            for l, (pair_base, path) in enumerate(p["fri"]):
-                st = qr.steps[l]
-                half = size_l // 2
-                pos_in = pos % half
-                pair = [
-                    (int(st.pair[0, 0]), int(st.pair[0, 1])),
-                    (int(st.pair[1, 0]), int(st.pair[1, 1])),
-                ]
-                mine = 0 if pos < half else 1
-                assert pair[mine] == tuple(int(v) for v in value), "fold chain mismatch"
-                state = [pair[0][0], pair[0][1], pair[1][0], pair[1][1]] + [0] * (WIDTH - 4)
-                out = pb.fill_permutation(trace, r0 + pair_base, state)
-                x_pos = shift_l * pow(root_l, pos_in, P) % P
-                value = fri_mod.fold_scalar(pair[0], pair[1], d["betas"][l], x_pos)
-                set_reg(self.R_FV[l], value)
-                if path:
-                    self._fill_merkle(
-                        trace, r0, path, out[:CAP], st.path, pos_in,
-                        leaf_result_row=pair_base + N_ROUNDS,
+            f1 = gl.ext_mul(gl.ext_sub((int(r1x[q, 0]), int(r1x[q, 1])), r1z), iv1)
+            f2 = gl.ext_mul(
+                gl.ext_sub(gl.ext_mul(gp2, (int(a_val[q, 0]), int(a_val[q, 1]))), r2z), iv2
+            )
+            iv1s.append(iv1)
+            iv2s.append(iv2)
+            values.append(gl.ext_add(f1, f2))
+        set_reg(self.R_IV1, np.asarray(iv1s, dtype=np.uint64))
+        set_reg(self.R_IV2, np.asarray(iv2s, dtype=np.uint64))
+        set_reg(self.R_VAL, np.asarray(values, dtype=np.uint64))
+        # ---- FRI layers ----------------------------------------------------
+        pos = indices.copy()
+        shift_l, root_l, size_l = SHIFT, w_n0, self.n0
+        for l, (pair_base, path) in enumerate(p["fri"]):
+            half = size_l // 2
+            pos_in = pos % half
+            mine = (pos >= half).astype(np.int64)
+            pairs = np.stack([np.asarray(qrs[q].steps[l].pair, dtype=np.uint64) for q in range(Q)])
+            for q in range(Q):
+                got = tuple(int(v) for v in pairs[q, mine[q]])
+                assert got == tuple(int(v) for v in values[q]), "fold chain mismatch"
+            states = np.concatenate(
+                [pairs.reshape(Q, 4), np.zeros((Q, WIDTH - 4), dtype=np.uint64)], axis=1
+            )
+            blocks, out = pb.permute_record(states)
+            pb.scatter_blocks(trace, r0s + pair_base, blocks)
+            values = []
+            for q in range(Q):
+                x_pos = shift_l * pow(root_l, int(pos_in[q]), P) % P
+                values.append(
+                    fri_mod.fold_scalar(
+                        tuple(int(v) for v in pairs[q, 0]),
+                        tuple(int(v) for v in pairs[q, 1]),
+                        d["betas"][l],
+                        x_pos,
                     )
-                pos = pos_in
-                shift_l = shift_l * shift_l % P
-                root_l = root_l * root_l % P
-                size_l = half
+                )
+            set_reg(self.R_FV[l], np.asarray(values, dtype=np.uint64))
+            if path:
+                self._fill_merkle(
+                    trace, r0s, path, out[:, :CAP],
+                    np.stack([np.stack(qrs[q].steps[l].path) for q in range(Q)]),
+                    pos_in, leaf_result_row=pair_base + N_ROUNDS,
+                )
+            pos = pos_in
+            shift_l = shift_l * shift_l % P
+            root_l = root_l * root_l % P
+            size_l = half
 
+        # ---- flush registers + non-round witness lanes --------------------
+        for q in range(Q):
+            trace[r0s[q] : r0s[q] + rpq, TSTK0:] = regmat[q]
+        consts = self.constant_columns()
         pb.fill_nonround_witnesses(trace, consts)
         return trace, outer_pis
 
-    # -- fill helpers ----------------------------------------------------
-    def _fill_sponge(self, trace, r0, segs, padded, gamma, w_start, acc_start, span):
-        """Fill segment sponges and the W/ACC chain columns; returns the
-        list of segment digests."""
+    # -- batched fill helpers ---------------------------------------------
+    def _fill_leaf(self, trace, r0s, segs, merges, padded):
+        """Segment sponges (batched over queries x segments, sequential
+        over the kseg chain) + merge tree (batched per level). Returns the
+        per-level node values [(Q, st, CAP), (Q, st/2, CAP), ...]."""
+        Q = padded.shape[0]
+        stq, kseg = len(segs), len(segs[0][0])
+        chunks = padded.reshape(Q, stq, kseg, RATE)
+        block_rows = np.asarray([blocks for blocks, _d, _s in segs], dtype=np.int64)  # (st, kseg)
+        state = np.zeros((Q * stq, WIDTH), dtype=np.uint64)
+        for i in range(kseg):
+            state = np.concatenate(
+                [chunks[:, :, i].reshape(Q * stq, RATE), state[:, RATE:]], axis=1
+            )
+            blocks_t, state = pb.permute_record(state)
+            bases = (r0s[:, None] + block_rows[None, :, i]).reshape(-1)
+            pb.scatter_blocks(trace, bases, blocks_t)
+        levels = [state[:, :CAP].reshape(Q, stq, CAP)]
+        by_level: dict = {}
+        for base, _a, _b, lvl, pair in merges:
+            by_level.setdefault(lvl, []).append((pair, base))
+        for lvl in range(len(by_level)):
+            pairs = sorted(by_level[lvl])
+            bases_rel = np.asarray([b for _pr, b in pairs], dtype=np.int64)
+            cur = levels[-1]
+            npairs = cur.shape[1] // 2
+            states = np.concatenate(
+                [
+                    cur[:, 0::2].reshape(Q * npairs, CAP),
+                    cur[:, 1::2].reshape(Q * npairs, CAP),
+                    np.zeros((Q * npairs, WIDTH - 2 * CAP), dtype=np.uint64),
+                ],
+                axis=1,
+            )
+            blocks_t, out = pb.permute_record(states)
+            pb.scatter_blocks(trace, (r0s[:, None] + bases_rel[None, :]).reshape(-1), blocks_t)
+            levels.append(out[:, :CAP].reshape(Q, npairs, CAP))
+        return levels
+
+    def _fill_stack_regs(self, regmat, pushes, levels, stk0):
+        """Stack slot columns as step functions of the push schedule."""
+        rpq = self.rows_per_query
+        rel = np.arange(rpq)
+        by_slot: dict = {}
+        for row, slot, ref in pushes:
+            by_slot.setdefault(slot, []).append((row, ref))
+        for slot, items in by_slot.items():
+            rows = np.asarray([r for r, _ in items], dtype=np.int64)
+            vals = np.stack([levels[lvl][:, node] for _r, (lvl, node) in items], axis=1)
+            idx = np.clip(np.searchsorted(rows, rel, side="right") - 1, 0, len(items) - 1)
+            c0 = stk0 + slot * CAP - TSTK0
+            regmat[:, :, c0 : c0 + CAP] = vals[:, idx]
+
+    def _fill_chain(self, trace, r0s, absorbs, span, padded, wtab, w0, acc_start):
+        """DEEP weight/accumulator chain columns over one sponge span.
+
+        w lane k at absorb step j is gamma^(w0 + 8j + k) (shared across
+        queries); the accumulator is the running gamma-weighted sum of the
+        absorbed values, starting from `acc_start` ((Q,2) or None).
+        Returns the per-step post-update accumulators (Q, nsteps, 2)."""
         P = gl.P
-        digs = []
-        kseg = len(segs[0][0])
-        # sponge permutations
-        ci = 0
-        for blocks, _dig in segs:
-            state = [0] * WIDTH
-            for b in blocks:
-                chunk = padded[ci * RATE : (ci + 1) * RATE]
-                ci += 1
-                state = [v % P for v in chunk] + state[RATE:]
-                state = pb.fill_permutation(trace, r0 + b, state)
-            digs.append(state[:CAP])
-        # W/ACC chain across the span
-        w = [gl.ext_mul(w_start if isinstance(w_start, tuple) else (w_start, 0), gl.ext_pow(gamma, k)) for k in range(RATE)]
-        g8 = gl.ext_pow(gamma, RATE)
-        acc = tuple(int(v) % P for v in acc_start)
-        absorbs = {r0 + b for blocks, _d in segs for b in blocks}
+        Q, nvals = padded.shape
+        nsteps = nvals // RATE
         lo, hi = span
-        ci = 0
-        for rr in range(r0 + lo, r0 + hi + 1):
-            for k in range(RATE):
-                trace[rr, WCH + 2 * k] = w[k][0]
-                trace[rr, WCH + 2 * k + 1] = w[k][1]
-            trace[rr, ACCC] = acc[0]
-            trace[rr, ACCC + 1] = acc[1]
-            if rr in absorbs:
-                chunk = padded[ci * RATE : (ci + 1) * RATE]
-                ci += 1
-                for k in range(RATE):
-                    acc = gl.ext_add(acc, gl.ext_scalar_mul(w[k], chunk[k]))
-                w = [gl.ext_mul(wk, g8) for wk in w]
-        return digs
+        # per-step accumulator table (object cumsum keeps exact arithmetic)
+        wv = gl.ext_mul_base_v(
+            (wtab[w0 : w0 + nvals, 0][None, :], wtab[w0 : w0 + nvals, 1][None, :]), padded
+        )
+        step_sums = np.stack(
+            [
+                np.asarray(gl.gl_sum(wv[0].reshape(Q, nsteps, RATE), axis=-1)),
+                np.asarray(gl.gl_sum(wv[1].reshape(Q, nsteps, RATE), axis=-1)),
+            ],
+            axis=-1,
+        )
+        cum = (np.cumsum(step_sums.astype(object), axis=1)) % P
+        if acc_start is not None:
+            cum = (cum + acc_start.astype(object)[:, None, :]) % P
+        cum = cum.astype(np.uint64)
+        # row values: state BEFORE each row's absorb
+        relrows = np.arange(lo, hi + 1)
+        ab = np.asarray(absorbs, dtype=np.int64)
+        spre = np.searchsorted(ab, relrows, side="left")
+        wrows = wtab[(w0 + RATE * spre[:, None] + np.arange(RATE)[None, :]).reshape(-1)]
+        wrows = wrows.reshape(relrows.shape[0], 2 * RATE)  # (nspan, 16) w columns
+        accrows = np.where(
+            (spre == 0)[None, :, None],
+            (acc_start if acc_start is not None else np.zeros((Q, 2), dtype=np.uint64))[:, None, :],
+            cum[:, np.maximum(spre - 1, 0)],
+        )
+        rows2d = (r0s[:, None] + relrows[None, :]).reshape(-1)
+        trace[rows2d[:, None], np.arange(WCH, WCH + 2 * RATE)[None, :]] = np.tile(
+            wrows, (Q, 1)
+        )
+        trace[rows2d[:, None], np.arange(ACCC, ACCC + 2)[None, :]] = accrows.reshape(-1, 2)
+        return cum
 
-    def _acc_after(self, padded, weights, start=(0, 0)):
-        acc = tuple(int(v) for v in start)
-        for j, v in enumerate(padded):
-            acc = gl.ext_add(acc, gl.ext_scalar_mul((int(weights[j][0]), int(weights[j][1])), v))
-        return [acc[0], acc[1]]
-
-    def _fill_tree(self, trace, r0, tree, regs_cols, regs, set_reg):
-        for base, a, b, out in tree:
-            da, db = regs[regs_cols[a]], regs[regs_cols[b]]
-            state = list(da) + list(db) + [0] * (WIDTH - 2 * CAP)
-            res = pb.fill_permutation(trace, r0 + base, state)
-            set_reg(regs_cols[out], res[:CAP])
-
-    def _fill_merkle(self, trace, r0, path, leaf, sibs, index, leaf_result_row=None):
-        """leaf_result_row: when the path chains from a preceding perm's
-        result row (FRI pair leaves), level 0's sibling witness lives
-        there; otherwise it lives on level 0's first round row."""
-        P = gl.P
-        cur = [int(v) % P for v in leaf]
+    def _fill_merkle(self, trace, r0s, path, leaf, sibs, indices, leaf_result_row=None):
+        """Batched Merkle path fill: `leaf` (Q, CAP), `sibs` (Q, depth,
+        CAP), `indices` (Q,). `leaf_result_row`: when the path chains from
+        a preceding perm's result row (FRI pair leaves), level 0's sibling
+        witness (and select bit) lives there; otherwise on level 0's first
+        round row. Also fills the BITC select bits and the POSA position
+        accumulator along the path."""
+        Q = leaf.shape[0]
+        cur = np.asarray(leaf, dtype=np.uint64)
+        sibs = np.asarray(sibs, dtype=np.uint64)
+        sel0 = path[0] if leaf_result_row is None else leaf_result_row
+        sels = [sel0] + [b - 1 for b in path[1:]]
+        capbind = path[-1] + N_ROUNDS
+        cum = np.zeros(Q, dtype=np.uint64)
         for v, base in enumerate(path):
-            bit = (index >> v) & 1
-            sib = [int(x) % P for x in sibs[v]]
-            if v == 0:
-                srow = r0 + base if leaf_result_row is None else r0 + leaf_result_row
-            else:
-                srow = r0 + path[v - 1] + N_ROUNDS
-            trace[srow, SIB : SIB + CAP] = sib
-            pair = (sib, cur) if bit else (cur, sib)
-            state = list(pair[0]) + list(pair[1]) + [0] * (WIDTH - 2 * CAP)
-            out = pb.fill_permutation(trace, r0 + base, state)
-            cur = out[:CAP]
-            assert tuple(cur) == ps.compress_s(*pair)
+            bit = ((indices >> v) & 1).astype(np.uint64)
+            bitb = bit.astype(bool)[:, None]
+            sib = sibs[:, v]
+            srow = r0s + sels[v]
+            trace[srow[:, None], np.arange(SIB, SIB + CAP)[None, :]] = sib
+            trace[srow, BITC] = bit
+            trace[srow, POSA] = cum
+            cum = cum + (bit << np.uint64(v))
+            nxt = sels[v + 1] if v + 1 < len(path) else capbind
+            rows_rel = np.arange(sels[v] + 1, nxt + 1)
+            trace[(r0s[:, None] + rows_rel[None, :]).reshape(-1), POSA] = np.repeat(
+                cum, rows_rel.shape[0]
+            )
+            lo = np.where(bitb, sib, cur)
+            hi = np.where(bitb, cur, sib)
+            states = np.concatenate(
+                [lo, hi, np.zeros((Q, WIDTH - 2 * CAP), dtype=np.uint64)], axis=1
+            )
+            blocks_t, out = pb.permute_record(states)
+            pb.scatter_blocks(trace, r0s + base, blocks_t)
+            cur = out[:, :CAP]
         return cur
-
-
-def _wmul(weights: np.ndarray, scale) -> np.ndarray:
-    """Scale an (n,2) ext power table by an ext scalar."""
-    out = np.empty_like(weights)
-    for j in range(weights.shape[0]):
-        v = gl.ext_mul((int(weights[j, 0]), int(weights[j, 1])), scale)
-        out[j] = v
-    return out
 
 
 def _dot(weights: np.ndarray, values: np.ndarray):
@@ -754,7 +915,7 @@ def build_outer_pis(rair: RecursiveVerifierAir, proof: StarkProof, d: dict,
         index = d["indices"][qi]
         x = SHIFT * pow(w_n0, index, P) % P
         pis.append(x)
-        pis += [(index >> v) & 1 for v in range(rair.depth)]
+        pis.append(index & ((1 << rair.depth) - 1))
         pis += [int(v) for v in proof.trace_cap[index >> rair.depth]]
         pis += [int(v) for v in proof.quotient_cap[index >> rair.depth]]
         pos = index
@@ -767,7 +928,7 @@ def build_outer_pis(rair: RecursiveVerifierAir, proof: StarkProof, d: dict,
             x_pos = shift_l * pow(root_l, pos_in, P) % P
             pis.append(mine)
             pis.append(gl.inv_s(2 * x_pos % P))
-            pis += [(pos_in >> v) & 1 for v in range(rair.depth_l[l])]
+            pis.append(pos_in & ((1 << rair.depth_l[l]) - 1))
             pis += [int(v) for v in proof.fri.layer_caps[l][pos_in >> rair.depth_l[l]]]
             pos = pos_in
             shift_l = shift_l * shift_l % P
@@ -825,7 +986,6 @@ def verify_recursive(inner_air, inner_pis, inner_config: StarkConfig,
     if rair is None:
         rair = RecursiveVerifierAir(inner_air, inner_config)
     p = comp.inner_public
-    n0 = rair.n0
     if len(p.fri.layer_caps) != rair.L:
         raise VerificationError("bad FRI layer count")
     if p.fri.final_coeffs.shape[0] != rair.final_len:
