@@ -196,25 +196,20 @@ def main():
     t0 = time.time()
     proof = prover.prove(trace, pis)
     cold = time.time() - t0
-    # fresh-statement prove: drop the uploaded-trace cache so this pays the
-    # full host->device transfer (what a brand-new statement costs, jit warm)
-    prover.free_device_memory()
-    t0 = time.time()
-    proof = prover.prove(trace, pis)
-    fresh = time.time() - t0
     t0 = time.time()
     proof = prover.prove(trace, pis)
     warm = time.time() - t0
     stage_s = {k: round(v, 2) for k, v in getattr(prover, "timings", {}).items()}
 
     # ---- headline: print + flush FIRST, before any optional extras ----
+    # (round-2 driver bench timed out before printing anything; everything
+    # that is not the headline number now happens after this line)
     headline = {
         "metric": metric,
         "value": round(warm, 3),
         "unit": "s",
         "vs_baseline": round(baseline / warm, 3),
         "cold_s": round(cold, 1),
-        "fresh_s": round(fresh, 2),
         "proof_bytes": proof.size_bytes(),
         "columns": air.num_cols,
         "rows": air.num_rows,
@@ -227,6 +222,14 @@ def main():
         t0 = time.time()
         verify(air, proof, pis, config)
         extras["verify_s"] = round(time.time() - t0, 2)
+    if time.time() - start < budget:
+        # fresh-statement prove: drop the uploaded-trace cache so this pays
+        # the full host->device transfer (what a brand-new statement costs,
+        # jit warm)
+        prover.free_device_memory()
+        t0 = time.time()
+        proof = prover.prove(trace, pis)
+        extras["fresh_s"] = round(time.time() - t0, 2)
 
     # true fresh-statement end-to-end: regenerate the trace ON DEVICE
     # (FillRecorder.flush_device — only prepared limb inputs cross the

@@ -298,3 +298,71 @@ def hash_to_curve_g2(msg: bytes):
     q0 = iso_map(map_to_curve_sswu(u0))
     q1 = iso_map(map_to_curve_sswu(u1))
     return clear_cofactor(g2_add(q0, q1))
+
+
+# ---------------------------------------------------------------------------
+# psi endomorphism + fast cofactor clearing (hash_to_curve.rs:250-319)
+#
+# The reference clears the cofactor in-circuit with the x-scalar-mul / psi
+# combination; the H2C stark (starks/hash_to_curve_air.py) witnesses the
+# same schedule, with these natives as its fill oracle. Constants are
+# DERIVED from the tower structure (xi = 1 + u) rather than copied;
+# tests/test_hash_to_curve.py pins fast == plain h_eff scalar-mul.
+# ---------------------------------------------------------------------------
+
+
+def fp2_pow(a, e: int):
+    acc = FP2_ONE
+    base = a
+    while e:
+        if e & 1:
+            acc = fp2_mul(acc, base)
+        base = fp2_mul(base, base)
+        e >>= 1
+    return acc
+
+
+def fp2_conj(a):
+    """Frobenius x -> x^p on Fp2: conjugation."""
+    return (a[0], (P381 - a[1]) % P381)
+
+
+# psi(x, y) = (c_x * conj(x), c_y * conj(y)) with the untwist-Frobenius-
+# twist constants c_x = 1/xi^((p-1)/3), c_y = 1/xi^((p-1)/2), xi = 1 + u.
+PSI_CX = fp2_inv(fp2_pow((1, 1), (P381 - 1) // 3))
+PSI_CY = fp2_inv(fp2_pow((1, 1), (P381 - 1) // 2))
+# psi^2 on E2: x -> c_x * conj(c_x) * x = c_x2 * x (an Fp scalar), y -> -y
+PSI2_CX = fp2_mul(PSI_CX, fp2_conj(PSI_CX))
+assert PSI2_CX[1] == 0
+
+
+def psi(p):
+    x, y = p
+    return (fp2_mul(PSI_CX, fp2_conj(x)), fp2_mul(PSI_CY, fp2_conj(y)))
+
+
+def psi2(p):
+    x, y = p
+    return (fp2_mul(PSI2_CX, x), fp2_neg(y))
+
+
+def g2_neg(p):
+    if p is None:
+        return None
+    return (p[0], fp2_neg(p[1]))
+
+
+def clear_cofactor_fast(p):
+    """[h_eff]P via the x-scalar-mul / psi decomposition the reference
+    proves in-circuit (hash_to_curve.rs:290-319):
+
+        [h_eff]P = [x^2 - x - 1]P + [x - 1]psi(P) + psi^2([2]P)
+                 = [x]([x]P - P + psi(P)) - P - psi(P) + psi^2([2]P)
+
+    with x the NEGATIVE BLS parameter, so [x]Q = -[|x|]Q."""
+    xp_ = g2_neg(g2_scalar_mul(p, bls.BLS_X))  # [x]P
+    psip = psi(p)
+    t1 = g2_add(g2_add(xp_, g2_neg(p)), psip)  # [x]P - P + psi(P)
+    t2 = g2_neg(g2_scalar_mul(t1, bls.BLS_X))  # [x]t1
+    res = g2_add(g2_add(t2, g2_neg(p)), g2_neg(psip))
+    return g2_add(res, psi2(g2_double(p)))
