@@ -1,4 +1,4 @@
-"""Aggregate BLS signature-verification pipeline: the 10-stark orchestrator.
+"""Aggregate BLS signature-verification pipeline: the 11-stark orchestrator.
 
 Capability-parity with the reference's `aggregate_proof.rs:224-400`
 (SURVEY.md §3.1): given NUM_POINTS sync-committee pubkeys, participation
@@ -6,23 +6,27 @@ bits, the signing message and the aggregate signature, produce
 
   1. Sha256 (h2f)        — every SHA-256 compression of hash_to_field's
                            expand_message_xmd (hash_to_field.rs:82-169)
-  2. SigPointCheck       — G2 signature on-curve + sign (g2_plonky2.rs)
-  3. PkPointCheck        — 512 G1 pubkey on-curve + sign (g1_plonky2.rs)
-  4. ECCAggregate        — apk = sum of selected pubkeys
-  5. PairingPrecomp(Hm)  — line coefficients for Hm = hash_to_curve(msg)
-  6. MillerLoop(-apk,Hm)
-  7. PairingPrecomp(sig)
-  8. MillerLoop(G, sig)
-  9. FP12Mul(ml1, ml2)
- 10. FinalExponentiate   — result must be one
+  2. H2C                 — SSWU + isogeny + psi-cofactor map-to-curve:
+                           Hm from the two field elements (in-proof,
+                           hash_to_curve.rs:84-446 parity)
+  3. SigPointCheck       — G2 signature on-curve + sign (g2_plonky2.rs)
+  4. PkPointCheck        — 512 G1 pubkey on-curve + sign (g1_plonky2.rs)
+  5. ECCAggregate        — apk = sum of selected pubkeys
+  6. PairingPrecomp(Hm)  — line coefficients for Hm
+  7. MillerLoop(-apk,Hm)
+  8. PairingPrecomp(sig)
+  9. MillerLoop(G, sig)
+ 10. FP12Mul(ml1, ml2)
+ 11. FinalExponentiate   — result must be one
 
 plus the cross-proof public-input consistency links that the reference
-wires inside its aggregation SNARK (`aggregate_proof.rs:510-599`). This
-round performs those links natively in `aggregate_verify` (SURVEY.md §7.6
-stage (a)); the recursive wrapping layer is the next build stage.
+wires inside its aggregation SNARK (`aggregate_proof.rs:510-599`),
+performed natively over the bundles' public inputs in `verify_aggregate`.
 
-Hm is computed natively by BOTH prover and verifier (hash_to_curve.py), so
-the links bind every stark to the same message end-to-end.
+With the h2c stage, the verifier does NO G2 curve math for Hm: the
+map-to-curve is proved, and the link layer only checks that the h2c
+stage's u inputs equal hash_to_field's reduction of the proved XMD bytes
+(public data) and that its Hm output equals PP1's input point.
 """
 
 from __future__ import annotations
@@ -41,11 +45,12 @@ from .starks.final_exponentiate import FinalExponentiateAir
 from .starks.fp12_mul import FP12MulAir, fp12_to_pis
 from .starks.miller_loop import MillerLoopAir
 from .fields import sha256 as sha
+from .starks.hash_to_curve_air import H2CAir
 from .starks.pairing_precomp import PairingPrecompAir
 from .starks.point_check import PkPointCheckAir, SigPointCheckAir
 from .starks.sha256_air import Sha256Air
 
-STAGES = ["h2f", "sigc", "pkc", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+STAGES = ["h2f", "h2c", "sigc", "pkc", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
 
 # expand_message_xmd(32-byte signing root, DST, 256) always costs the same
 # number of SHA-256 compressions (3 for b0 + 2 for each of b1..b8)
@@ -71,6 +76,7 @@ class AggregatePipeline:
         self.xp = xp
         self.airs = {
             "h2f": Sha256Air(num_blocks=_XMD_BLOCKS),
+            "h2c": H2CAir(),
             "pkc": PkPointCheckAir(num_points=num_points),
             "sigc": SigPointCheckAir(),
             "ecc": ECCAggregateAir(num_points=num_points),
@@ -91,7 +97,7 @@ class AggregatePipeline:
 
     def _air_for(self, stage: str):
         return self.airs[
-            {"h2f": "h2f", "pkc": "pkc", "sigc": "sigc", "ecc": "ecc",
+            {"h2f": "h2f", "h2c": "h2c", "pkc": "pkc", "sigc": "sigc", "ecc": "ecc",
              "pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml",
              "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
         ]
@@ -114,6 +120,7 @@ class AggregatePipeline:
         order (the cheap native pairing math runs up front; the expensive
         column fills are deferred per stage)."""
         apk = bls.g1_aggregate(pubkeys, bits)
+        u0, u1 = h2c.hash_to_field(message, 2)
         hm = h2c.hash_to_curve_g2(message)
         hm3 = (hm[0], hm[1], bls.FP2_ONE)
         sig3 = (signature[0], signature[1], bls.FP2_ONE)
@@ -128,6 +135,7 @@ class AggregatePipeline:
         h2f_air = self._h2f_air(len(xmd_comps))
         builders = {
             "h2f": lambda: h2f_air.generate_trace(xmd_comps),
+            "h2c": lambda: self.airs["h2c"].generate_trace(u0, u1),
             "pkc": lambda: self.airs["pkc"].generate_trace(pubkeys),
             "sigc": lambda: self.airs["sigc"].generate_trace(*signature),
             "ecc": lambda: self.airs["ecc"].generate_trace(pubkeys, bits),
@@ -180,7 +188,7 @@ class AggregatePipeline:
 
     # -- verification ----------------------------------------------------
     def verify_aggregate(self, bundle: AggregateBundle, pubkeys, bits, message: bytes, signature):
-        """Verifies the 8 proofs and the cross-proof public-input links
+        """Verifies every stage proof and the cross-proof public-input links
         (native equivalents of aggregate_proof.rs:510-599)."""
         self._h2f_air(len(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1]))
         for stage in STAGES:
@@ -221,6 +229,10 @@ def native_publics(pubkeys, bits, message: bytes, signature):
         return out
 
     h2f = sha.comps_to_pis(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1])
+    u0, u1 = h2c.hash_to_field(message, 2)
+    h2c_pis = (_fp2_limbs(u0) + _fp2_limbs(u1)
+               + [h2c.fp2_sgn0(u0), h2c.fp2_sgn0(u1)]
+               + _fp2_limbs(hm[0]) + _fp2_limbs(hm[1]))
     from .fields.compression import _sign_fp, _sign_fp2
 
     pkc = []
@@ -239,7 +251,7 @@ def native_publics(pubkeys, bits, message: bytes, signature):
     mul_pis = fp12_to_pis(ml1) + fp12_to_pis(ml2) + fp12_to_pis(mu)
     fe_pis = fp12_to_pis(mu) + fp12_to_pis(fe)
     return {
-        "h2f": h2f, "pkc": pkc, "sigc": sigc, "ecc": ecc, "pp1": pp1,
+        "h2f": h2f, "h2c": h2c_pis, "pkc": pkc, "sigc": sigc, "ecc": ecc, "pp1": pp1,
         "ml1": ml1_pis, "pp2": pp2, "ml2": ml2_pis, "fp12mul": mul_pis,
         "finalexp": fe_pis,
     }
@@ -292,10 +304,18 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
     apk_x = ecc[ecc_air.PIS_RES : ecc_air.PIS_RES + 12]
     apk_y = ecc[ecc_air.PIS_RES + 12 : ecc_air.PIS_RES + 24]
 
-    # Hm recomputed natively from the message (reference: in-circuit h2c)
-    hm = h2c.hash_to_curve_g2(message)
-    req(pp1[:24] == _limbs(hm[0][0]) + _limbs(hm[0][1]), "PP1 x != Hm.x")
-    req(pp1[24:48] == _limbs(hm[1][0]) + _limbs(hm[1][1]), "PP1 y != Hm.y")
+    # in-proof map-to-curve (reference: in-circuit h2c, aggregate_proof.rs:507):
+    # the h2c stark proves Hm = clear_cofactor(iso(sswu(u0) + sswu(u1)));
+    # the links bind its u inputs to hash_to_field's mod-p reduction of the
+    # proved XMD bytes (public byte math — the verifier does NO curve ops)
+    h2c_air, h2cp = airs["h2c"], publics["h2c"]
+    u0, u1 = h2c.hash_to_field(message, 2)
+    req(h2cp[h2c_air.PI_U0 : h2c_air.PI_U0 + 24] == _fp2_limbs(u0), "H2C u0 mismatch")
+    req(h2cp[h2c_air.PI_U1 : h2c_air.PI_U1 + 24] == _fp2_limbs(u1), "H2C u1 mismatch")
+    req(h2cp[h2c_air.PI_SGN0] == h2c.fp2_sgn0(u0), "H2C sgn0(u0) mismatch")
+    req(h2cp[h2c_air.PI_SGN1] == h2c.fp2_sgn0(u1), "H2C sgn0(u1) mismatch")
+    # proved Hm -> PP1's input point (aggregate_proof.rs:510-521)
+    req(pp1[:48] == h2cp[h2c_air.PI_HM : h2c_air.PI_HM + 48], "PP1 point != proved Hm")
     req(pp1[48:72] == _limbs(1) + _limbs(0), "PP1 z != 1")
     # signature binding
     req(pp2[:24] == _limbs(signature[0][0]) + _limbs(signature[0][1]), "PP2 x != sig.x")

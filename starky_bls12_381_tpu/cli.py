@@ -169,7 +169,7 @@ def main(argv=None):
         )
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
-        print(f"proved 7 starks in {time.time() - t0:.1f}s")
+        print(f"proved {len(bundle.proofs)} starks in {time.time() - t0:.1f}s")
         from .aggregate import bundle_to_bytes
 
         with open(args.out, "wb") as f:
@@ -184,7 +184,7 @@ def main(argv=None):
     if args.cmd == "prove":
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
-        print(f"proved 7 starks in {time.time() - t0:.1f}s")
+        print(f"proved {len(bundle.proofs)} starks in {time.time() - t0:.1f}s")
         from .aggregate import bundle_to_bytes
 
         with open(args.out, "wb") as f:
@@ -197,7 +197,7 @@ def main(argv=None):
             bundle = bundle_from_bytes(f.read())
         t0 = time.time()
         pipeline.verify_aggregate(bundle, pubkeys, bits, message, signature)
-        print(f"verified 7 proofs + links in {time.time() - t0:.1f}s")
+        print(f"verified {len(bundle.proofs)} proofs + links in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -50,12 +50,15 @@ def committee():
 
 @pytest.fixture(scope="module")
 def airs():
+    from starky_bls12_381_tpu.starks.hash_to_curve_air import H2CAir
+
     return {
         "ecc": ECCAggregateAir(num_points=N),
         "pp": PairingPrecompAir(),
         "ml": MillerLoopAir(),
         "fp12mul": FP12MulAir(),
         "finalexp": FinalExponentiateAir(),
+        "h2c": H2CAir(),
     }
 
 
