@@ -1,0 +1,114 @@
+"""Kernel microbenchmarks: Poseidon permutation + NTT throughput vs roofline.
+
+Measures the two hot kernels of the prover's commit stage on the real TPU
+and reports absolute throughput plus a roofline ratio (BASELINE.md:
+"every field-arithmetic kernel measured"):
+
+* Poseidon-GL12 permutations/s over large batches (the Merkle leaf/sponge
+  workload). Each permutation touches 12 u64 lanes (192 B r+w) and costs
+  ~1650 Goldilocks mul-equivalents (8 full rounds x 12 S-box cubes + MDS,
+  22 sparse partial rounds), so it is compute-bound on the VPU; the
+  roofline reference is achieved HBM GB/s against the chip's ~819 GB/s.
+* Radix-2 NTT butterflies/s via ntt.lde over a wide matrix (the coset-LDE
+  workload): n log2(n) / 2 butterflies per column; also reported as
+  effective HBM GB/s (log2(n) passes over the matrix).
+
+Prints one JSON line per kernel; BENCH_RECORD appends a combined record.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import starky_bls12_381_tpu  # noqa: F401
+
+from starky_bls12_381_tpu.backend import ntt
+from starky_bls12_381_tpu.backend import poseidon as ps
+from starky_bls12_381_tpu.fields import goldilocks as gl
+
+HBM_GBPS = 819.0  # v5e peak HBM bandwidth
+
+
+def bench_poseidon():
+    import jax
+
+    B = 1 << 20
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, gl.P, size=(B, ps.WIDTH), dtype=np.uint64)
+    import jax.numpy as jnp
+
+    dev = jnp.asarray(states)
+    fn = jax.jit(ps.permute)
+    fn(dev).block_until_ready()  # compile
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        out = fn(dev)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    perms_s = B / dt
+    gbs = B * ps.WIDTH * 8 * 2 / dt / 1e9
+    return {
+        "metric": "poseidon_perms_per_s",
+        "value": round(perms_s / 1e6, 2),
+        "unit": "Mperm/s",
+        "batch": B,
+        "hbm_gbps": round(gbs, 1),
+        "hbm_roofline_frac": round(gbs / HBM_GBPS, 3),
+    }
+
+
+def bench_ntt():
+    import jax
+    import jax.numpy as jnp
+
+    n, C = 2048, 4096
+    rng = np.random.default_rng(1)
+    mat = rng.integers(0, gl.P, size=(n, C), dtype=np.uint64)
+    dev = jnp.asarray(mat)
+
+    def f(m):
+        return ntt.lde(m, 1, gl.GENERATOR)[0]
+
+    fn = jax.jit(f)
+    fn(dev).block_until_ready()
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        out = fn(dev)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    # ifft (n log n / 2) + coset eval (2n log 2n / 2) butterflies per col
+    n0 = 2 * n
+    bflies = C * (n * n.bit_length() // 2 + n0 * n0.bit_length() // 2)
+    passes = n.bit_length() + n0.bit_length()
+    gbs = (n * C * 8 * passes) / dt / 1e9
+    return {
+        "metric": "ntt_butterflies_per_s",
+        "value": round(bflies / dt / 1e9, 2),
+        "unit": "Gbfly/s",
+        "shape": [n, C],
+        "hbm_gbps": round(gbs, 1),
+        "hbm_roofline_frac": round(gbs / HBM_GBPS, 3),
+    }
+
+
+def main():
+    out = {}
+    for fn in (bench_poseidon, bench_ntt):
+        rec = fn()
+        print(json.dumps(rec), flush=True)
+        out[rec["metric"]] = rec
+    path = os.environ.get("BENCH_RECORD")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -348,6 +348,95 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
 
 
 # ---------------------------------------------------------------------------
+# Compressed bundles: ONE verifiable object for the whole pipeline.
+#
+# Capability parity with the reference's final aggregation
+# (`aggregate_proof.rs:459-671`): every stage proof's query phase —
+# the bulk of the bytes — is replaced by recursive outer STARK proofs
+# (starks/recursive_verifier.py query-sharded DAGs), and a single
+# `verify_compressed_bundle` call checks every stage plus the
+# cross-stage public-input links. The verifier never sees a query round.
+# ---------------------------------------------------------------------------
+
+# outer-proof parameter point for bundle compression: blowup 8 trades
+# prover work (the outer airs are narrow) for ~3 bits/query, so 28
+# queries + 16-bit grinding match the inner 84-query / rate-1 budget
+OUTER_CONFIG = StarkConfig(rate_bits=3, cap_height=4, num_queries=28, pow_bits=16)
+
+
+@dataclass
+class CompressedBundle:
+    """Per-stage compressed proofs (inner public part + outer DAG) plus
+    the stage public inputs and the sharding/outer parameters."""
+
+    publics: Dict[str, List[int]]
+    dags: Dict[str, object]  # stage -> CompressedProofDag
+    num_points: int
+    shard: int
+    outer_config: StarkConfig
+
+
+def compress_bundle(pipeline: AggregatePipeline, bundle: AggregateBundle,
+                    shard: int = 7, outer_config: StarkConfig | None = None,
+                    stages=None, xp=None) -> CompressedBundle:
+    """Wrap every stage proof's query rounds in recursive outer proofs.
+
+    Stages sharing an air (pp1/pp2, ml1/ml2) share one RecursiveVerifierAir
+    and one compiled outer prover. `stages` restricts compression to a
+    subset (tests); `xp` selects the outer prover backend."""
+    from .starks.recursive_verifier import RecursiveVerifierAir, prove_recursive_dag
+
+    ocfg = outer_config or OUTER_CONFIG
+    todo = list(STAGES) if stages is None else list(stages)
+    rairs: Dict[str, RecursiveVerifierAir] = {}
+    dags = {}
+    for stage in todo:
+        air = pipeline._air_for(stage)
+        key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
+        if key not in rairs:
+            rairs[key] = RecursiveVerifierAir(air, pipeline.config, num_queries=shard)
+        _, dag = prove_recursive_dag(
+            air, bundle.proofs[stage], bundle.publics[stage], pipeline.config,
+            ocfg, shard=shard, xp=xp, rair=rairs[key],
+        )
+        dags[stage] = dag
+    return CompressedBundle(
+        publics={s: bundle.publics[s] for s in todo},
+        dags=dags,
+        num_points=bundle.num_points,
+        shard=shard,
+        outer_config=ocfg,
+    )
+
+
+def verify_compressed_bundle(pipeline: AggregatePipeline, cb: CompressedBundle,
+                             pubkeys, bits, message: bytes, signature,
+                             stages=None) -> None:
+    """ONE call verifying the whole compressed pipeline: per stage, the
+    native scalar checks (transcript replay, grinding, quotient identity at
+    zeta) plus the outer DAG proofs covering every FRI query; then the
+    cross-stage public-input links. Raises VerificationError on failure."""
+    from .starks.recursive_verifier import RecursiveVerifierAir, verify_recursive_dag
+
+    todo = list(STAGES) if stages is None else list(stages)
+    pipeline._h2f_air(len(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1]))
+    rairs: Dict[str, RecursiveVerifierAir] = {}
+    for stage in todo:
+        air = pipeline._air_for(stage)
+        key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
+        if key not in rairs:
+            rairs[key] = RecursiveVerifierAir(air, pipeline.config, num_queries=cb.shard)
+        verify_recursive_dag(
+            air, cb.publics[stage], pipeline.config, cb.dags[stage],
+            cb.outer_config, rair=rairs[key],
+        )
+    if stages is None:
+        check_aggregate_links(
+            pipeline.airs, cb.publics, pubkeys, bits, message, signature, cb.num_points
+        )
+
+
+# ---------------------------------------------------------------------------
 # Bundle wire format (CLI output): versioned binary, no pickle.
 # ---------------------------------------------------------------------------
 
@@ -394,3 +483,77 @@ def bundle_from_bytes(data: bytes) -> AggregateBundle:
         off += ln
     assert off == len(data), "trailing bytes in bundle"
     return AggregateBundle(proofs=proofs, publics=publics, num_points=num_points)
+
+
+_CBUNDLE_MAGIC = b"SBTC"
+_CBUNDLE_VERSION = 1
+
+
+def compressed_bundle_to_bytes(cb: CompressedBundle) -> bytes:
+    import numpy as np
+
+    from .backend.proof import proof_to_bytes
+
+    c = cb.outer_config
+    out = [_CBUNDLE_MAGIC, _CBUNDLE_VERSION.to_bytes(4, "little")]
+    out.append(int(cb.num_points).to_bytes(8, "little"))
+    out.append(int(cb.shard).to_bytes(8, "little"))
+    for v in (c.rate_bits, c.cap_height, c.num_queries, c.pow_bits, c.num_challenges,
+              c.final_poly_len):
+        out.append(int(v).to_bytes(4, "little"))
+    for stage in STAGES:
+        pis = cb.publics[stage]
+        out.append(len(pis).to_bytes(8, "little"))
+        out.append(np.asarray(pis, dtype="<u8").tobytes())
+        dag = cb.dags[stage]
+        blob = proof_to_bytes(dag.inner_public)
+        out.append(len(blob).to_bytes(8, "little"))
+        out.append(blob)
+        out.append(len(dag.outer_proofs).to_bytes(8, "little"))
+        for p in dag.outer_proofs:
+            blob = proof_to_bytes(p)
+            out.append(len(blob).to_bytes(8, "little"))
+            out.append(blob)
+    return b"".join(out)
+
+
+def compressed_bundle_from_bytes(data: bytes) -> CompressedBundle:
+    import numpy as np
+
+    from .backend.proof import proof_from_bytes
+    from .starks.recursive_verifier import CompressedProofDag
+
+    assert data[:4] == _CBUNDLE_MAGIC, "bad compressed-bundle magic"
+    assert int.from_bytes(data[4:8], "little") == _CBUNDLE_VERSION, "bad version"
+    off = 8
+    num_points = int.from_bytes(data[off : off + 8], "little")
+    shard = int.from_bytes(data[off + 8 : off + 16], "little")
+    off += 16
+    cfgv = []
+    for _ in range(6):
+        cfgv.append(int.from_bytes(data[off : off + 4], "little"))
+        off += 4
+    ocfg = StarkConfig(rate_bits=cfgv[0], cap_height=cfgv[1], num_queries=cfgv[2],
+                       pow_bits=cfgv[3], num_challenges=cfgv[4], final_poly_len=cfgv[5])
+    publics, dags = {}, {}
+    for stage in STAGES:
+        n = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        publics[stage] = [int(x) for x in np.frombuffer(data, dtype="<u8", count=n, offset=off)]
+        off += 8 * n
+        ln = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        inner_pub = proof_from_bytes(data[off : off + ln])
+        off += ln
+        nproofs = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        outers = []
+        for _ in range(nproofs):
+            ln = int.from_bytes(data[off : off + 8], "little")
+            off += 8
+            outers.append(proof_from_bytes(data[off : off + ln]))
+            off += ln
+        dags[stage] = CompressedProofDag(inner_public=inner_pub, outer_proofs=outers, shard=shard)
+    assert off == len(data), "trailing bytes in compressed bundle"
+    return CompressedBundle(publics=publics, dags=dags, num_points=num_points,
+                            shard=shard, outer_config=ocfg)

@@ -232,6 +232,60 @@ class ExtScalarAlgebra:
         return np.array([0, 0], dtype=object)
 
 
+class ExtVectorAlgebra:
+    """GF(p^2) values as uint64 arrays with trailing axis 2 — the
+    numpy-vectorized version of ExtScalarAlgebra. The verifier's quotient
+    identity over a 90k-column air runs in milliseconds instead of minutes
+    of object-array bignum arithmetic; results are bit-identical (the same
+    modular ops via fields/goldilocks)."""
+
+    def constant(self, v):
+        return np.array([int(v) % gl.P, 0], dtype=np.uint64)
+
+    def add(self, a, b):
+        return np.asarray(gl.gl_add(a, b))
+
+    def sub(self, a, b):
+        return np.asarray(gl.gl_sub(a, b))
+
+    def mul(self, a, b):
+        a0, a1 = a[..., 0], a[..., 1]
+        b0, b1 = b[..., 0], b[..., 1]
+        c0 = gl.gl_add(gl.gl_mul(a0, b0), gl.gl_mul(np.uint64(gl.W_EXT), gl.gl_mul(a1, b1)))
+        c1 = gl.gl_add(gl.gl_mul(a0, b1), gl.gl_mul(a1, b0))
+        return np.stack([np.asarray(c0), np.asarray(c1)], axis=-1)
+
+    def neg(self, a):
+        return np.asarray(gl.gl_neg(a))
+
+    def rows(self, data):
+        if data.ndim == 1:
+            return [data]
+        return [r for r in data.reshape(-1, 2)]
+
+    def index(self, data, idx):
+        return data[idx]
+
+    def sum0(self, data):
+        return np.asarray(gl.gl_sum(data, axis=0))
+
+    def lift_ints(self, arr: np.ndarray):
+        a = np.asarray(arr, dtype=np.uint64)
+        out = np.zeros(a.shape + (2,), dtype=np.uint64)
+        out[..., 0] = a
+        return out
+
+    def combine_rows(self, data, alpha: int):
+        if data.ndim == 1:
+            return (int(data[0]), int(data[1])), 1
+        flat = data.reshape(-1, 2)
+        r = flat.shape[0]
+        w = gl.gl_powers_vec(alpha, r)
+        c0 = int(gl.gl_sum(gl.gl_mul(flat[:, 0], w), axis=0))
+        c1 = int(gl.gl_sum(gl.gl_mul(flat[:, 1], w), axis=0))
+        return (c0, c1), r
+
+
 class DegreeAlgebra:
     """Values are polynomial degrees (ints); used for quotient sizing."""
 
@@ -486,6 +540,20 @@ class ScalarAccessors:
         vals = np.asarray([self.pis[i] for i in idxs.reshape(-1)], dtype=np.uint64)
         out = np.zeros(vals.shape + (2,), dtype=object)
         out[..., 0] = vals.astype(object)
+        return out.reshape(tuple(idxs.shape) + (2,))
+
+
+class ExtVectorAccessors(ScalarAccessors):
+    """ScalarAccessors over uint64 (C, 2) matrices (for ExtVectorAlgebra):
+    public inputs are lifted to uint64 ext pairs instead of object."""
+
+    def pi(self, idxs):
+        idxs = np.asarray(idxs)
+        if idxs.ndim == 0:
+            return np.array([self.pis[int(idxs)], 0], dtype=np.uint64)
+        vals = np.asarray([self.pis[i] for i in idxs.reshape(-1)], dtype=np.uint64)
+        out = np.zeros(vals.shape + (2,), dtype=np.uint64)
+        out[..., 0] = vals
         return out.reshape(tuple(idxs.shape) + (2,))
 
 

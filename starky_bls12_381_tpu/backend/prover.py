@@ -369,8 +369,10 @@ class StarkProver:
 
     def _slice_device_chunks(self, trace_dev):
         """Device-resident (n, num_cols) trace -> padded column chunks, all
-        in HBM (no host transfer)."""
-        assert self.mesh is None, "on-device trace + mesh: stack+shard TODO"
+        in HBM (no host transfer). Under a mesh, the chunks are stacked to
+        (nch, n, W) and resharded onto the chunk axis in the same program
+        (out_shardings), so the commit stage sees the usual column-chunk-
+        sharded layout without a host round trip."""
         W, nch = self.chunk_width, self.num_chunks
         pad = W * nch - self.num_cols
 
@@ -380,6 +382,15 @@ class StarkProver:
                 tr = self.xp.concatenate([tr, z], axis=1)
             return tuple(tr[:, i * W : (i + 1) * W] for i in range(nch))
 
+        if self.mesh is not None:
+            import jax
+
+            def fs(tr):
+                return self.xp.stack(f(tr))
+
+            if "slice_chunks_mesh" not in self._jit_cache:
+                self._jit_cache["slice_chunks_mesh"] = jax.jit(fs, out_shardings=self._sh_col)
+            return self._jit_cache["slice_chunks_mesh"](trace_dev)
         return list(self._stage("slice_chunks", f)(trace_dev))
 
     _DOWNLOAD_STREAMS = 16
@@ -493,7 +504,9 @@ class StarkProver:
     def _quotient(self, lde_chunks, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
         xp = self.xp
         nseg = 1
-        est = self.n0 * self.num_cols * 8
+        # under a mesh the LDE rows are sharded, so the one-shot working
+        # set is split ndev ways; the segment budget is per device
+        est = self.n0 * self.num_cols * 8 // (self.ndev if self.mesh is not None else 1)
         while nseg < self.n0 // max(1, self.blowup) and est // nseg > self._QUOTIENT_SEG_BYTES:
             nseg *= 2
 
@@ -513,8 +526,9 @@ class StarkProver:
         # blocks sliced straight out of the resident LDE chunks, dispatched
         # nseg times with different offsets (the last segment's halo wraps
         # to the first `blowup` rows, handled by a second static variant —
-        # no whole-LDE halo copy ever exists)
-        assert self.mesh is None, "segmented quotient + mesh not wired yet"
+        # no whole-LDE halo copy ever exists). Under a mesh the blocks are
+        # dynamic row-slices of the row-sharded LDE: GSPMD lowers them to
+        # device-local slices plus halo collectives.
         L = self.n0 // nseg
         b = self.blowup
 
@@ -554,7 +568,7 @@ class StarkProver:
 
         mid = self._stage("quotient_seg", make_fseg(False))
         lastf = self._stage("quotient_seg_last", make_fseg(True))
-        args = tuple(lde_chunks)
+        args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
         parts = [
             (lastf if s == nseg - 1 else mid)(
                 args, np.int64(s * L), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde

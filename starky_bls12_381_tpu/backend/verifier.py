@@ -21,7 +21,7 @@ import numpy as np
 from ..fields import goldilocks as gl
 from . import fri, merkle
 from . import poseidon as ps
-from .air import Ctx, ExtScalarAlgebra, ScalarAccessors
+from .air import Ctx, ExtVectorAccessors, ExtVectorAlgebra
 from .challenger import Challenger
 from .config import StarkConfig
 from . import ntt
@@ -30,11 +30,11 @@ from .proof import StarkProof
 
 
 def _eval_cols_at(coeffs: np.ndarray, point) -> np.ndarray:
-    """Evaluate base-coeff column polys (n, K) at ext point -> (K, 2) object."""
+    """Evaluate base-coeff column polys (n, K) at ext point -> (K, 2) u64."""
     pows = ext_powers(point, coeffs.shape[0])
     c0 = gl.gl_sum(gl.gl_mul(coeffs, pows[:, 0][:, None]), axis=0)
     c1 = gl.gl_sum(gl.gl_mul(coeffs, pows[:, 1][:, None]), axis=0)
-    return np.stack([np.asarray(c0), np.asarray(c1)], axis=1).astype(object)
+    return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)
 
 
 class VerificationError(Exception):
@@ -88,9 +88,9 @@ def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, al
     ext-scalar algebra against the opened values. Raises on mismatch."""
     n = air.num_rows
     factor = air.quotient_degree_factor()
-    alg = ExtScalarAlgebra()
-    t_local = np.asarray(proof.trace_local, dtype=np.uint64).astype(object)
-    t_next = np.asarray(proof.trace_next, dtype=np.uint64).astype(object)
+    alg = ExtVectorAlgebra()
+    t_local = np.asarray(proof.trace_local, dtype=np.uint64)
+    t_next = np.asarray(proof.trace_next, dtype=np.uint64)
     zeta_g = gl.ext_scalar_mul(zeta, gl.primitive_root_of_unity(n.bit_length() - 1))
     const = air.constant_columns()
     if const is not None:
@@ -98,8 +98,8 @@ def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, al
         c_zeta = _eval_cols_at(c_coeffs, zeta)
         c_zeta_g = _eval_cols_at(c_coeffs, zeta_g)
     else:
-        c_zeta = c_zeta_g = np.zeros((1, 2), dtype=object)
-    ctx = Ctx(alg, ScalarAccessors(t_local, t_next, c_zeta, c_zeta_g, [int(x) % gl.P for x in pis]))
+        c_zeta = c_zeta_g = np.zeros((1, 2), dtype=np.uint64)
+    ctx = Ctx(alg, ExtVectorAccessors(t_local, t_next, c_zeta, c_zeta_g, [int(x) % gl.P for x in pis]))
     air.eval(ctx)
     zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
     filt_cache = {}

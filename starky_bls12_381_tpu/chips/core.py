@@ -180,6 +180,10 @@ def _const_vec(ctx, values):
     if alg.__class__.__name__ == "ExtScalarAlgebra":
         data = np.array([[int(v), 0] for v in values], dtype=object)
         return V(alg, data, 0)
+    if alg.__class__.__name__ == "ExtVectorAlgebra":
+        data = np.zeros((len(values), 2), dtype=np.uint64)
+        data[:, 0] = np.asarray([int(v) for v in values], dtype=np.uint64)
+        return V(alg, data, 0)
     xp = alg.xp
     arr = np.asarray([int(v) for v in values], dtype=np.uint64).reshape(len(values), 1)
     return V(alg, arr if xp is np else xp.asarray(arr), 0)

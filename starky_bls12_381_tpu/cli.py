@@ -131,10 +131,14 @@ def make_example_input(path: str, num_points: int = 8, seed: int = 7):
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU BLS12-381 aggregate-signature STARK prover")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    p_prove = sub.add_parser("prove", help="run the 7-stark pipeline on a JSON input")
+    p_prove = sub.add_parser("prove", help="run the stark pipeline on a JSON input")
     p_prove.add_argument("input")
     p_prove.add_argument("--out", default="aggregate_proof.bin")
     p_prove.add_argument("--cpu", action="store_true", help="use numpy instead of the TPU")
+    p_prove.add_argument(
+        "--compress", action="store_true",
+        help="recursively wrap every stage proof: ONE compressed object, no query rounds",
+    )
     p_ver = sub.add_parser("verify", help="verify a proof bundle against a JSON input")
     p_ver.add_argument("input")
     p_ver.add_argument("proof")
@@ -149,6 +153,7 @@ def main(argv=None):
     p_lc.add_argument("--domain", required=True, help="32-byte signing domain, hex")
     p_lc.add_argument("--out", default="aggregate_proof.bin")
     p_lc.add_argument("--cpu", action="store_true")
+    p_lc.add_argument("--compress", action="store_true")
     args = ap.parse_args(argv)
 
     if args.cmd == "make-example":
@@ -160,6 +165,24 @@ def main(argv=None):
 
     from .aggregate import AggregatePipeline
 
+    def _write_bundle(pipeline, bundle, out, compress):
+        from .aggregate import bundle_to_bytes, compress_bundle, compressed_bundle_to_bytes
+
+        if compress:
+            t0 = time.time()
+            cb = compress_bundle(pipeline, bundle)
+            data = compressed_bundle_to_bytes(cb)
+            plain = len(bundle_to_bytes(bundle))
+            print(
+                f"compressed {len(cb.dags)} stage proofs in {time.time() - t0:.1f}s "
+                f"({plain} -> {len(data)} bytes, {plain / len(data):.1f}x)"
+            )
+        else:
+            data = bundle_to_bytes(bundle)
+        with open(out, "wb") as f:
+            f.write(data)
+        print(f"wrote {out}")
+
     if args.cmd == "prove-lc":
         num_points, pubkeys, bits, message, signature = load_light_client_input(
             args.prev_update, args.cur_update, args.domain
@@ -170,11 +193,7 @@ def main(argv=None):
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
         print(f"proved {len(bundle.proofs)} starks in {time.time() - t0:.1f}s")
-        from .aggregate import bundle_to_bytes
-
-        with open(args.out, "wb") as f:
-            f.write(bundle_to_bytes(bundle))
-        print(f"wrote {args.out}")
+        _write_bundle(pipeline, bundle, args.out, args.compress)
         return
 
     num_points, pubkeys, bits, message, signature = load_input(args.input)
@@ -185,19 +204,29 @@ def main(argv=None):
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
         print(f"proved {len(bundle.proofs)} starks in {time.time() - t0:.1f}s")
-        from .aggregate import bundle_to_bytes
-
-        with open(args.out, "wb") as f:
-            f.write(bundle_to_bytes(bundle))
-        print(f"wrote {args.out}")
+        _write_bundle(pipeline, bundle, args.out, args.compress)
     else:
-        from .aggregate import bundle_from_bytes
+        from .aggregate import (
+            _CBUNDLE_MAGIC,
+            bundle_from_bytes,
+            compressed_bundle_from_bytes,
+            verify_compressed_bundle,
+        )
 
         with open(args.proof, "rb") as f:
-            bundle = bundle_from_bytes(f.read())
+            data = f.read()
         t0 = time.time()
-        pipeline.verify_aggregate(bundle, pubkeys, bits, message, signature)
-        print(f"verified {len(bundle.proofs)} proofs + links in {time.time() - t0:.1f}s")
+        if data[:4] == _CBUNDLE_MAGIC:
+            cb = compressed_bundle_from_bytes(data)
+            verify_compressed_bundle(pipeline, cb, pubkeys, bits, message, signature)
+            print(
+                f"verified compressed bundle ({len(cb.dags)} stages, no query rounds) "
+                f"+ links in {time.time() - t0:.1f}s"
+            )
+        else:
+            bundle = bundle_from_bytes(data)
+            pipeline.verify_aggregate(bundle, pubkeys, bits, message, signature)
+            print(f"verified {len(bundle.proofs)} proofs + links in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

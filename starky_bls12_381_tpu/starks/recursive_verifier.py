@@ -1016,12 +1016,27 @@ class CompressedProofDag:
     shard: int
 
 
-def _shard_indices(Q: int, shard: int):
-    """Partition 0..Q-1 into shard-sized slices, padding the last by
-    repetition (duplicate queries re-prove the same checks: sound)."""
+def _shard_indices(Q: int, shard: int, indices=None):
+    """Partition the query slots into shard-sized slices, padding the last
+    by repetition (duplicate queries re-prove the same checks: sound).
+
+    With `indices` (the transcript-derived per-slot LDE indices), slots
+    whose index repeats are DEDUPLICATED first: a slot's opened data is a
+    pure function of its index, so proving one representative per unique
+    index covers every slot (small inner airs draw 84 queries from a
+    32-leaf tree; the wrap shrinks ~3x). Both prover and verifier derive
+    the same representative list from the same transcript."""
+    slots = list(range(Q))
+    if indices is not None:
+        seen = set()
+        slots = []
+        for qi in range(Q):
+            if indices[qi] not in seen:
+                seen.add(indices[qi])
+                slots.append(qi)
     out = []
-    for lo in range(0, Q, shard):
-        idxs = list(range(lo, min(lo + shard, Q)))
+    for lo in range(0, len(slots), shard):
+        idxs = slots[lo : lo + shard]
         while len(idxs) < shard:
             idxs.append(idxs[-1])
         out.append(idxs)
@@ -1040,8 +1055,9 @@ def prove_recursive_dag(inner_air, proof: StarkProof, inner_pis,
     if rair is None:
         rair = RecursiveVerifierAir(inner_air, inner_config, num_queries=shard)
     prover = StarkProver(rair, outer_config, xp=xp)
+    d = derive_challenges(inner_air, proof, inner_pis, inner_config)
     outers = []
-    for idxs in _shard_indices(inner_config.num_queries, shard):
+    for idxs in _shard_indices(inner_config.num_queries, shard, d["indices"]):
         trace, opis = rair.generate_trace(proof, inner_pis, idxs)
         outers.append(prover.prove(trace, opis))
     return rair, CompressedProofDag(
@@ -1067,13 +1083,16 @@ def verify_recursive_dag(inner_air, inner_pis, inner_config: StarkConfig,
     if not check_pow(d["pow_challenge"], p.fri.pow_nonce, inner_config.pow_bits):
         raise VerificationError("bad grinding witness")
     check_quotient_identity(inner_air, p, inner_pis, inner_config, d["alphas"], d["zeta"])
-    shards = _shard_indices(inner_config.num_queries, dag.shard)
+    shards = _shard_indices(inner_config.num_queries, dag.shard, d["indices"])
     if len(dag.outer_proofs) != len(shards):
         raise VerificationError("bad shard count")
     covered = set()
     for idxs, op in zip(shards, dag.outer_proofs):
         outer_pis = build_outer_pis(rair, p, d, idxs)
         verify(rair, op, outer_pis, outer_config)
-        covered.update(idxs)
-    if covered != set(range(inner_config.num_queries)):
+        covered.update(d["indices"][qi] for qi in idxs)
+    # coverage over transcript-derived LDE indices: a slot's opened data is
+    # a pure function of its index, so covering every unique index covers
+    # every query slot
+    if covered != {d["indices"][qi] for qi in range(inner_config.num_queries)}:
         raise VerificationError("query shards do not cover all queries")

@@ -115,6 +115,73 @@ def test_full_trace_residuals(committee):
         assert_zero_residuals(pipeline._air_for(stage), trace, pis)
 
 
+def test_compress_single_stage(committee):
+    """Compress one stage proof (sigc: the cheapest air) and verify it
+    through verify_compressed_bundle's per-stage path: the recursive DAG
+    replaces the query rounds; tamper cases reject."""
+    from starky_bls12_381_tpu.aggregate import (
+        AggregateBundle,
+        compress_bundle,
+        verify_compressed_bundle,
+    )
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+
+    pubkeys, bits, message, signature = committee
+    icfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=2, cap_height=2)
+    pipeline = AggregatePipeline(num_points=N, config=icfg, xp=np)
+    builders, _ = pipeline._trace_builders(pubkeys, bits, message, signature)
+    trace, pis = builders["sigc"]()
+    proof = pipeline._prove("sigc", trace, pis)
+    bundle = AggregateBundle(proofs={"sigc": proof}, publics={"sigc": pis}, num_points=N)
+
+    ocfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=8, cap_height=2)
+    cb = compress_bundle(pipeline, bundle, shard=2, outer_config=ocfg, stages=["sigc"])
+    # no query rounds anywhere in the compressed object
+    assert cb.dags["sigc"].inner_public.fri.query_rounds == []
+    assert len(proof_to_bytes(cb.dags["sigc"].inner_public)) < len(proof_to_bytes(proof))
+    verify_compressed_bundle(pipeline, cb, pubkeys, bits, message, signature, stages=["sigc"])
+
+    # tampered stage public input -> the native re-derivation rejects
+    import copy
+
+    bad = copy.deepcopy(cb)
+    bad.publics["sigc"][0] ^= 1
+    with pytest.raises(VerificationError):
+        verify_compressed_bundle(pipeline, bad, pubkeys, bits, message, signature, stages=["sigc"])
+    # dropped shard -> coverage rejects
+    bad = copy.deepcopy(cb)
+    bad.dags["sigc"].outer_proofs.pop()
+    with pytest.raises(VerificationError):
+        verify_compressed_bundle(pipeline, bad, pubkeys, bits, message, signature, stages=["sigc"])
+
+
+@slow
+def test_compress_full_bundle_roundtrip(committee):
+    """Full 11-stage prove -> compress -> serialize -> verify: ONE object,
+    one verify call, no per-stage handling by the caller (the reference's
+    aggregate_recursive_proof capability, aggregate_proof.rs:459-671)."""
+    from starky_bls12_381_tpu.aggregate import (
+        compress_bundle,
+        compressed_bundle_from_bytes,
+        compressed_bundle_to_bytes,
+        bundle_to_bytes,
+        verify_compressed_bundle,
+    )
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+
+    pubkeys, bits, message, signature = committee
+    icfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=2, cap_height=2)
+    pipeline = AggregatePipeline(num_points=N, config=icfg)
+    bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
+    ocfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=8, cap_height=2)
+    cb = compress_bundle(pipeline, bundle, shard=2, outer_config=ocfg)
+    data = compressed_bundle_to_bytes(cb)
+    assert len(data) < len(bundle_to_bytes(bundle))
+    cb2 = compressed_bundle_from_bytes(data)
+    verify_compressed_bundle(pipeline, cb2, pubkeys, bits, message, signature)
+
+
 def test_pipelined_prove_schedule(committee):
     """The pipelined prover overlaps trace builds with proving but must
     still prove every stage, in DAG order, each with its own trace."""

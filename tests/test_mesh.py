@@ -50,6 +50,71 @@ def test_mesh_prover_bit_identical(monkeypatch):
     assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_segmented_quotient_bit_identical(monkeypatch):
+    """Row-segmented quotient UNDER A MESH (the FinalExp-scale path,
+    prover.py `_quotient` nseg>1 + sharded LDE): proof bit-identical to
+    the single-device prover."""
+    from jax.sharding import Mesh
+
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+    from starky_bls12_381_tpu.backend.prover import StarkProver
+    from starky_bls12_381_tpu.backend.verifier import verify
+    from starky_bls12_381_tpu.starks.poseidon_air import PoseidonAir
+
+    rng = np.random.default_rng(5)
+    air = PoseidonAir(num_perms=8)
+    inputs = [list(rng.integers(0, gl.P, size=12, dtype=np.uint64)) for _ in range(8)]
+    trace, pis = air.generate_trace(inputs)
+    config = StarkConfig(pow_bits=4, num_queries=8, cap_height=2)
+
+    monkeypatch.setattr(StarkProver, "_CHUNK_BYTES", 1 << 12)
+    # force segmentation: per-device estimate must exceed this budget
+    monkeypatch.setattr(StarkProver, "_QUOTIENT_SEG_BYTES", 1 << 12)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    mp = StarkProver(air, config, mesh=mesh)
+    proof_mesh = mp.prove(trace, pis)
+    verify(air, proof_mesh, pis, config)
+
+    sp = StarkProver(air, config, xp=np)
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(sp.prove(trace, pis))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_device_resident_trace(monkeypatch):
+    """Device-resident trace (FillRecorder.flush_device) + mesh prove:
+    the trace is sliced and resharded in HBM (prover.py
+    `_slice_device_chunks` mesh path), proof bit-identical."""
+    from jax.sharding import Mesh
+
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+    from starky_bls12_381_tpu.backend.proof import proof_to_bytes
+    from starky_bls12_381_tpu.backend.prover import StarkProver
+    from starky_bls12_381_tpu.backend.verifier import verify
+    from starky_bls12_381_tpu.fields import bls12_381 as bls
+    from starky_bls12_381_tpu.starks.point_check import PkPointCheckAir
+
+    air = PkPointCheckAir(num_points=4)
+    pts = [bls.G1_GEN]
+    for _ in range(3):
+        pts.append(bls.g1_double(pts[-1]))
+    trace_dev, pis = air.generate_trace(pts, device=True)
+    assert not isinstance(trace_dev, np.ndarray)
+    config = StarkConfig(pow_bits=4, num_queries=8, cap_height=2)
+
+    monkeypatch.setattr(StarkProver, "_CHUNK_BYTES", 1 << 16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    mp = StarkProver(air, config, mesh=mesh)
+    proof_mesh = mp.prove(trace_dev, pis)
+    verify(air, proof_mesh, pis, config)
+
+    trace_host, pis2 = air.generate_trace(pts)
+    assert pis2 == pis
+    sp = StarkProver(air, config, xp=np)
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(sp.prove(trace_host, pis))
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_shard_quotient_matches_single_chip_on_merkle_air():
     """Halo-exchange quotient on a second air type (MerklePathAir) and a
