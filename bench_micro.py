@@ -34,6 +34,22 @@ from starky_bls12_381_tpu.fields import goldilocks as gl
 HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 
+def _timeit(fn, arg, reps=8):
+    """Remote-backend-safe timing: the jitted fn returns a SCALAR checksum
+    of its result, and jax.device_get on it forces the whole same-stream
+    sequence to complete (block_until_ready over the axon tunnel returns
+    before remote execution finishes, which inflates naive timings ~100x)."""
+    import jax
+
+    s = fn(arg)
+    jax.device_get(s)  # compile + sync
+    t0 = time.time()
+    for _ in range(reps):
+        s = fn(arg)
+    jax.device_get(s)
+    return (time.time() - t0) / reps
+
+
 def bench_poseidon():
     import jax
 
@@ -43,14 +59,11 @@ def bench_poseidon():
     import jax.numpy as jnp
 
     dev = jnp.asarray(states)
-    fn = jax.jit(ps.permute)
-    fn(dev).block_until_ready()  # compile
-    t0 = time.time()
-    reps = 4
-    for _ in range(reps):
-        out = fn(dev)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+
+    def f(x):
+        return ps.permute(x).sum()
+
+    dt = _timeit(jax.jit(f), dev)
     perms_s = B / dt
     gbs = B * ps.WIDTH * 8 * 2 / dt / 1e9
     return {
@@ -73,16 +86,9 @@ def bench_ntt():
     dev = jnp.asarray(mat)
 
     def f(m):
-        return ntt.lde(m, 1, gl.GENERATOR)[0]
+        return ntt.lde(m, 1, gl.GENERATOR)[0].sum()
 
-    fn = jax.jit(f)
-    fn(dev).block_until_ready()
-    t0 = time.time()
-    reps = 4
-    for _ in range(reps):
-        out = fn(dev)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+    dt = _timeit(jax.jit(f), dev)
     # ifft (n log n / 2) + coset eval (2n log 2n / 2) butterflies per col
     n0 = 2 * n
     bflies = C * (n * n.bit_length() // 2 + n0 * n0.bit_length() // 2)

@@ -7,9 +7,9 @@ Records wrap wall time, inner vs compressed bytes, and verify time into
 a JSON artifact (bench_results/).
 
 Inner configs match bench.py's production point (rate 1, 84 queries,
-16-bit grinding). The outer config trades rate for queries (blowup 8 ->
-~3 bits/query -> 28 queries + grinding reach the same ~100-bit budget as
-the inner's 84 queries at blowup 2) so each shard proof stays ~250 KB.
+16-bit grinding). The outer config trades rate for queries (blowup 4 ->
+~2 bits/query -> 42 queries + grinding reach the same ~100-bit budget as
+the inner's 84 queries at blowup 2) so each shard proof stays small.
 
 Select the inner with BENCH_STARK in {fp12_mul, miller_loop}; shard size
 with BENCH_SHARD (queries per outer proof).
@@ -76,7 +76,7 @@ def main():
     air, trace, pis, name = {"fp12_mul": inner_fp12_mul, "miller_loop": inner_miller_loop}[which]()
 
     icfg = StarkConfig(rate_bits=1, cap_height=4, num_queries=84, pow_bits=16)
-    ocfg = StarkConfig(rate_bits=3, cap_height=4, num_queries=28, pow_bits=16)
+    from starky_bls12_381_tpu.aggregate import OUTER_CONFIG as ocfg
 
     t0 = time.time()
     prover = StarkProver(air, icfg)

@@ -1,4 +1,4 @@
-"""Aggregate BLS signature-verification pipeline: the 11-stark orchestrator.
+"""Aggregate BLS signature-verification pipeline: the 12-stark orchestrator.
 
 Capability-parity with the reference's `aggregate_proof.rs:224-400`
 (SURVEY.md §3.1): given NUM_POINTS sync-committee pubkeys, participation
@@ -6,27 +6,32 @@ bits, the signing message and the aggregate signature, produce
 
   1. Sha256 (h2f)        — every SHA-256 compression of hash_to_field's
                            expand_message_xmd (hash_to_field.rs:82-169)
-  2. H2C                 — SSWU + isogeny + psi-cofactor map-to-curve:
+  2. XmdField (h2fr)     — the b0-xor chain + L=64-byte mod-p reductions
+                           producing the field elements (in-proof,
+                           hash_to_field.rs:82-203 parity)
+  3. H2C                 — SSWU + isogeny + psi-cofactor map-to-curve:
                            Hm from the two field elements (in-proof,
                            hash_to_curve.rs:84-446 parity)
-  3. SigPointCheck       — G2 signature on-curve + sign (g2_plonky2.rs)
-  4. PkPointCheck        — 512 G1 pubkey on-curve + sign (g1_plonky2.rs)
-  5. ECCAggregate        — apk = sum of selected pubkeys
-  6. PairingPrecomp(Hm)  — line coefficients for Hm
-  7. MillerLoop(-apk,Hm)
-  8. PairingPrecomp(sig)
-  9. MillerLoop(G, sig)
- 10. FP12Mul(ml1, ml2)
- 11. FinalExponentiate   — result must be one
+  4. SigPointCheck       — G2 signature on-curve + sign (g2_plonky2.rs)
+  5. PkPointCheck        — 512 G1 pubkey on-curve + sign (g1_plonky2.rs)
+  6. ECCAggregate        — apk = sum of selected pubkeys
+  7. PairingPrecomp(Hm)  — line coefficients for Hm
+  8. MillerLoop(-apk,Hm)
+  9. PairingPrecomp(sig)
+ 10. MillerLoop(G, sig)
+ 11. FP12Mul(ml1, ml2)
+ 12. FinalExponentiate   — result must be one
 
 plus the cross-proof public-input consistency links that the reference
 wires inside its aggregation SNARK (`aggregate_proof.rs:510-599`),
 performed natively over the bundles' public inputs in `verify_aggregate`.
 
-With the h2c stage, the verifier does NO G2 curve math for Hm: the
-map-to-curve is proved, and the link layer only checks that the h2c
-stage's u inputs equal hash_to_field's reduction of the proved XMD bytes
-(public data) and that its Hm output equals PP1's input point.
+The hash-to-point trust path runs entirely through proofs: h2f proves
+the SHA-256 compressions, h2fr proves the xor chain and field-element
+reductions over h2f's public words, h2c proves the map-to-curve over
+h2fr's field elements, and PP1 consumes h2c's Hm. The verifier's native
+work on this path is PI equality plus anchoring the first compression's
+words to the statement message (public bytes, no curve or hash math).
 """
 
 from __future__ import annotations
@@ -47,15 +52,24 @@ from .starks.miller_loop import MillerLoopAir
 from .fields import sha256 as sha
 from .starks.hash_to_curve_air import H2CAir
 from .starks.pairing_precomp import PairingPrecompAir
+from .starks.xmd_field_air import XmdFieldAir
 from .starks.point_check import PkPointCheckAir, SigPointCheckAir
 from .starks.sha256_air import Sha256Air
 
-STAGES = ["h2f", "h2c", "sigc", "pkc", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
+STAGES = ["h2f", "h2fr", "h2c", "sigc", "pkc", "ecc", "pp1", "ml1", "pp2", "ml2", "fp12mul", "finalexp"]
 
 # expand_message_xmd(32-byte signing root, DST, 256) always costs the same
 # number of SHA-256 compressions (3 for b0 + 2 for each of b1..b8)
 XMD_LEN = 2 * 2 * h2c.L
 _XMD_BLOCKS = len(sha.expand_message_xmd_compressions(bytes(32), h2c.DST, XMD_LEN)[1])
+
+
+def _xmd_b_digests(comps):
+    """[b0, b1, .., b8] digest words from the XMD compression list: b0's
+    hash spans len(comps) - 16 blocks (message-length dependent), each
+    b_i hash exactly 2 (77-byte inputs)."""
+    k0 = len(comps) - 2 * 8
+    return [comps[k0 - 1][2]] + [comps[k0 + 2 * i - 1][2] for i in range(1, 9)]
 
 
 @dataclass
@@ -76,6 +90,7 @@ class AggregatePipeline:
         self.xp = xp
         self.airs = {
             "h2f": Sha256Air(num_blocks=_XMD_BLOCKS),
+            "h2fr": XmdFieldAir(),
             "h2c": H2CAir(),
             "pkc": PkPointCheckAir(num_points=num_points),
             "sigc": SigPointCheckAir(),
@@ -97,7 +112,7 @@ class AggregatePipeline:
 
     def _air_for(self, stage: str):
         return self.airs[
-            {"h2f": "h2f", "h2c": "h2c", "pkc": "pkc", "sigc": "sigc", "ecc": "ecc",
+            {"h2f": "h2f", "h2fr": "h2fr", "h2c": "h2c", "pkc": "pkc", "sigc": "sigc", "ecc": "ecc",
              "pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml",
              "fp12mul": "fp12mul", "finalexp": "finalexp"}[stage]
         ]
@@ -133,8 +148,10 @@ class AggregatePipeline:
         fe = bls.fp12_final_exponentiate(mu)
         _, xmd_comps = sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)
         h2f_air = self._h2f_air(len(xmd_comps))
+        b_digests = _xmd_b_digests(xmd_comps)
         builders = {
             "h2f": lambda: h2f_air.generate_trace(xmd_comps),
+            "h2fr": lambda: self.airs["h2fr"].generate_trace(b_digests),
             "h2c": lambda: self.airs["h2c"].generate_trace(u0, u1),
             "pkc": lambda: self.airs["pkc"].generate_trace(pubkeys),
             "sigc": lambda: self.airs["sigc"].generate_trace(*signature),
@@ -165,8 +182,10 @@ class AggregatePipeline:
         if not summary["mu_is_one"]:
             raise ValueError("signature does not verify natively; refusing to prove")
         from concurrent.futures import ThreadPoolExecutor
+        import time as _time
 
         proofs, publics = {}, {}
+        self.stage_wall_s: Dict[str, float] = {}
         ex = ThreadPoolExecutor(max_workers=1)
         try:
             pending = {}
@@ -178,7 +197,9 @@ class AggregatePipeline:
                 nxt = i + self._PIPELINE_AHEAD
                 if nxt < len(queue):
                     pending[queue[nxt]] = ex.submit(builders[queue[nxt]])
+                _t0 = _time.time()
                 proofs[stage] = self._prove(stage, trace, pis)
+                self.stage_wall_s[stage] = round(_time.time() - _t0, 2)
                 publics[stage] = pis
         finally:
             # don't wait out in-flight trace builds (minutes of host fill)
@@ -228,8 +249,16 @@ def native_publics(pubkeys, bits, message: bytes, signature):
                 out.extend(_fp2_limbs(c))
         return out
 
-    h2f = sha.comps_to_pis(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1])
+    _, _comps = sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)
+    h2f = sha.comps_to_pis(_comps)
     u0, u1 = h2c.hash_to_field(message, 2)
+    _digs = _xmd_b_digests(_comps)
+    h2fr = [int(x) for x in _digs[0]]
+    for b in _digs[1:]:
+        h2fr.extend(int(x) for x in b)
+    for i in range(2, 9):
+        h2fr.extend(int(_digs[0][w]) ^ int(_digs[i - 1][w]) for w in range(8))
+    h2fr += _fp2_limbs(u0) + _fp2_limbs(u1)
     h2c_pis = (_fp2_limbs(u0) + _fp2_limbs(u1)
                + [h2c.fp2_sgn0(u0), h2c.fp2_sgn0(u1)]
                + _fp2_limbs(hm[0]) + _fp2_limbs(hm[1]))
@@ -251,7 +280,7 @@ def native_publics(pubkeys, bits, message: bytes, signature):
     mul_pis = fp12_to_pis(ml1) + fp12_to_pis(ml2) + fp12_to_pis(mu)
     fe_pis = fp12_to_pis(mu) + fp12_to_pis(fe)
     return {
-        "h2f": h2f, "h2c": h2c_pis, "pkc": pkc, "sigc": sigc, "ecc": ecc, "pp1": pp1,
+        "h2f": h2f, "h2fr": h2fr, "h2c": h2c_pis, "pkc": pkc, "sigc": sigc, "ecc": ecc, "pp1": pp1,
         "ml1": ml1_pis, "pp2": pp2, "ml2": ml2_pis, "fp12mul": mul_pis,
         "finalexp": fe_pis,
     }
@@ -304,14 +333,33 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
     apk_x = ecc[ecc_air.PIS_RES : ecc_air.PIS_RES + 12]
     apk_y = ecc[ecc_air.PIS_RES + 12 : ecc_air.PIS_RES + 24]
 
+    # in-proof hash_to_field reduction (hash_to_field.rs:82-203 parity):
+    # the h2fr stark proves the b0-xor chain and the mod-p reductions; its
+    # word PIs bind to the h2f stage's proved compression words, so the u
+    # field elements flow h2f -> h2fr -> h2c entirely through proofs
+    h2fr_air, h2frp = airs["h2fr"], publics["h2fr"]
+    h2fp = publics["h2f"]
+    k0 = len(h2fp) // 32 - 16  # b0's block count (message-length dependent)
+    req(h2frp[h2fr_air.PI_B0 : h2fr_air.PI_B0 + 8]
+        == h2fp[32 * (k0 - 1) + 24 : 32 * (k0 - 1) + 32], "H2FR b0 != h2f digest")
+    for i in range(1, 9):
+        blk = k0 + 2 * i - 1
+        req(h2frp[h2fr_air.PI_B + 8 * (i - 1) : h2fr_air.PI_B + 8 * i]
+            == h2fp[32 * blk + 24 : 32 * blk + 32], f"H2FR b{i} != h2f digest")
+    for i in range(2, 9):  # xored words ARE b_i's first message block words
+        blk = k0 + 2 * (i - 1)
+        req(h2frp[h2fr_air.PI_X + 8 * (i - 2) : h2fr_air.PI_X + 8 * (i - 1)]
+            == h2fp[32 * blk : 32 * blk + 8], f"H2FR x{i} != h2f message words")
+
     # in-proof map-to-curve (reference: in-circuit h2c, aggregate_proof.rs:507):
     # the h2c stark proves Hm = clear_cofactor(iso(sswu(u0) + sswu(u1)));
-    # the links bind its u inputs to hash_to_field's mod-p reduction of the
-    # proved XMD bytes (public byte math — the verifier does NO curve ops)
+    # its u inputs bind to the h2fr stage's PROVED reductions
     h2c_air, h2cp = airs["h2c"], publics["h2c"]
+    req(h2cp[h2c_air.PI_U0 : h2c_air.PI_U0 + 24]
+        == h2frp[h2fr_air.PI_U : h2fr_air.PI_U + 24], "H2C u0 != proved reduction")
+    req(h2cp[h2c_air.PI_U1 : h2c_air.PI_U1 + 24]
+        == h2frp[h2fr_air.PI_U + 24 : h2fr_air.PI_U + 48], "H2C u1 != proved reduction")
     u0, u1 = h2c.hash_to_field(message, 2)
-    req(h2cp[h2c_air.PI_U0 : h2c_air.PI_U0 + 24] == _fp2_limbs(u0), "H2C u0 mismatch")
-    req(h2cp[h2c_air.PI_U1 : h2c_air.PI_U1 + 24] == _fp2_limbs(u1), "H2C u1 mismatch")
     req(h2cp[h2c_air.PI_SGN0] == h2c.fp2_sgn0(u0), "H2C sgn0(u0) mismatch")
     req(h2cp[h2c_air.PI_SGN1] == h2c.fp2_sgn0(u1), "H2C sgn0(u1) mismatch")
     # proved Hm -> PP1's input point (aggregate_proof.rs:510-521)
@@ -358,10 +406,10 @@ def check_aggregate_links(airs, publics, pubkeys, bits, message, signature, num_
 # cross-stage public-input links. The verifier never sees a query round.
 # ---------------------------------------------------------------------------
 
-# outer-proof parameter point for bundle compression: blowup 8 trades
-# prover work (the outer airs are narrow) for ~3 bits/query, so 28
+# outer-proof parameter point for bundle compression: blowup 4 trades
+# prover work (the outer airs are narrow) for ~2 bits/query, so 42
 # queries + 16-bit grinding match the inner 84-query / rate-1 budget
-OUTER_CONFIG = StarkConfig(rate_bits=3, cap_height=4, num_queries=28, pow_bits=16)
+OUTER_CONFIG = StarkConfig(rate_bits=2, cap_height=4, num_queries=42, pow_bits=16)
 
 
 @dataclass

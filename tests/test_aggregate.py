@@ -51,6 +51,7 @@ def committee():
 @pytest.fixture(scope="module")
 def airs():
     from starky_bls12_381_tpu.starks.hash_to_curve_air import H2CAir
+    from starky_bls12_381_tpu.starks.xmd_field_air import XmdFieldAir
 
     return {
         "ecc": ECCAggregateAir(num_points=N),
@@ -59,6 +60,7 @@ def airs():
         "fp12mul": FP12MulAir(),
         "finalexp": FinalExponentiateAir(),
         "h2c": H2CAir(),
+        "h2fr": XmdFieldAir(),
     }
 
 
@@ -115,6 +117,7 @@ def test_full_trace_residuals(committee):
         assert_zero_residuals(pipeline._air_for(stage), trace, pis)
 
 
+@slow
 def test_compress_single_stage(committee):
     """Compress one stage proof (sigc: the cheapest air) and verify it
     through verify_compressed_bundle's per-stage path: the recursive DAG
