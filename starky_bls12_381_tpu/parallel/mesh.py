@@ -233,3 +233,31 @@ def dryrun_multichip(n_devices: int) -> None:
     verify(air, proof_mesh, ppis, config)
     proof_ref = prover.prove(ptrace, ppis)
     assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_ref), "sharded proof differs"
+
+    # the same full-SPMD prove over a REAL BLS chip air (G1 on-curve +
+    # sign checks, 64 x ~1.5k limb/carry columns) with a DEVICE-RESIDENT
+    # trace: exercises slice+reshard (prover._slice_device_chunks mesh
+    # path), the segmented-quotient + mesh path (tiny segment budget),
+    # and the downstream GSPMD collectives — bit-identical again.
+    from ..fields import bls12_381 as bls
+    from ..starks.point_check import PkPointCheckAir
+
+    bair = PkPointCheckAir(num_points=4)
+    pts = [bls.G1_GEN]
+    for _ in range(3):
+        pts.append(bls.g1_double(pts[-1]))
+    btrace_dev, bpis = bair.generate_trace(pts, device=True)
+    saved_q = StarkProver._QUOTIENT_SEG_BYTES
+    try:
+        StarkProver._CHUNK_BYTES = 1 << 16
+        StarkProver._QUOTIENT_SEG_BYTES = 1 << 14  # force segmentation
+        mpb = StarkProver(bair, config, mesh=Mesh(devs, ("d",)))
+        proof_bls = mpb.prove(btrace_dev, bpis)
+    finally:
+        StarkProver._CHUNK_BYTES = saved
+        StarkProver._QUOTIENT_SEG_BYTES = saved_q
+    verify(bair, proof_bls, bpis, config)
+    btrace_host, bpis2 = bair.generate_trace(pts)
+    assert bpis2 == bpis
+    ref = StarkProver(bair, config, xp=np).prove(btrace_host, bpis)
+    assert proof_to_bytes(proof_bls) == proof_to_bytes(ref), "BLS sharded proof differs"
