@@ -4,11 +4,12 @@ Measures the two hot kernels of the prover's commit stage on the real TPU
 and reports absolute throughput plus a roofline ratio (BASELINE.md:
 "every field-arithmetic kernel measured"):
 
-* Poseidon-GL12 permutations/s over large batches (the Merkle leaf/sponge
-  workload). Each permutation touches 12 u64 lanes (192 B r+w) and costs
-  ~1650 Goldilocks mul-equivalents (8 full rounds x 12 S-box cubes + MDS,
-  22 sparse partial rounds), so it is compute-bound on the VPU; the
-  roofline reference is achieved HBM GB/s against the chip's ~819 GB/s.
+* Poseidon2-GL12 permutations/s over large batches (the Merkle
+  leaf/sponge workload). Each permutation touches 12 u64 lanes (192 B r+w)
+  and costs ~470 full Goldilocks muls (the x^7 sboxes) plus shift-add
+  linear layers (M_E 4-block schedule, M_I power-of-two diagonal), so it
+  is compute-bound on the VPU; the roofline reference is achieved HBM GB/s
+  against the chip's ~819 GB/s.
 * Radix-2 NTT butterflies/s via ntt.lde over a wide matrix (the coset-LDE
   workload): n log2(n) / 2 butterflies per column; also reported as
   effective HBM GB/s (log2(n) passes over the matrix).

@@ -1,34 +1,47 @@
-"""Poseidon permutation over Goldilocks, width 12 — the backend hash.
+"""Poseidon2 permutation over Goldilocks, width 12 — the backend hash.
 
 The reference's proving backend (plonky2 / starky, SURVEY.md §2.2) commits
-traces with a Poseidon-Goldilocks Merkle tree and runs Fiat–Shamir through a
-Poseidon duplex challenger. We rebuild the same capability with our own
+traces with a Poseidon-Goldilocks Merkle tree and runs Fiat–Shamir through
+a Poseidon duplex challenger. We rebuild the same capability with our own
 nothing-up-my-sleeve instantiation (we define both prover and verifier, so
-any fixed secure instance works):
+any fixed secure instance works) — and we choose the instance for the
+TARGET HARDWARE. Rounds 1-2 used classic Poseidon with a dense Cauchy MDS:
+measured compute-bound on the TPU VPU at 4.3 Mperm/s, with ~79% of its
+~2250 modmuls/permutation spent multiplying by full-width matrix
+constants (docs/PERF.md). An MXU offload of those constant muls (int8
+chunk matmuls) measured SLOWER at the XLA level — the i32 position-sum
+materialization costs more HBM traffic than the VPU math it saves. The
+TPU-first fix is algorithmic: Poseidon2 (Grassi–Khovratovich–Schofnegger,
+ePrint 2023/323) keeps the sbox count but replaces both linear layers
+with shift-add-shaped matrices, cutting the full-width modmuls to ~470
+per permutation — everything else is doublings, shifts and lane-local
+adds, exactly what the VPU does at full rate.
 
-* width t = 12 (rate 8, capacity 4), alpha = 7 (gcd(7, p-1) = 1),
-* R_F = 8 full rounds, R_P = 22 partial rounds (HADES: 4 full, 22 partial,
-  4 full) — the standard Poseidon-Goldilocks parameter point,
-* MDS matrix: Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i,
-  y_j = 12 + j (provably MDS),
-* round constants: rejection-sampled from SHA-256 in counter mode over a
-  domain-separation tag.
+Instance (t = 12, rate 8, capacity 4, alpha = 7, R_F = 8, R_P = 22 — the
+same publicly vetted Poseidon/Poseidon2 Goldilocks parameter point used
+by plonky2 and Plonky3, the backend of the reference's proof stack):
 
-Security margin: (p, t, alpha, R_F, R_P) = (2^64-2^32+1, 12, 7, 8, 22) is
-the SAME parameter point as plonky2's publicly vetted Poseidon-Goldilocks
-instance (the backend hash of the reference's entire proof stack). The
-published Poseidon security analysis (GKRRS20, §5.5) bounds statistical
-attacks by R_F >= 6 for t=12 at 128-bit security (we have 8) and algebraic
-interpolation/Groebner attacks by R_F + R_P >= ~1.075 * (R_F+R_P)_min with
-(R_F+R_P)_min ~ 26 for alpha=7 over a 64-bit field with 128-bit capacity
-(we have 30, matching plonky2's chosen margin). Those bounds depend only
-on (p, t, alpha, round counts), an MDS linear layer, and structureless
-round constants: our Cauchy matrix is provably MDS (all square submatrices
-of a Cauchy matrix are nonsingular), and SHA-256-counter rejection
-sampling yields constants with no exploitable algebraic structure, the
-same nothing-up-my-sleeve recipe as the reference instantiations. The two
-implementations below (scalar and batched with the sparse partial-round
-factorization) are pinned equal by tests/test_poseidon.py.
+* external (full) rounds and the initial layer apply
+  M_E = circ(2*M4, M4, M4) with the paper's M4 =
+  [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]] (§5.1): per 4-lane block an
+  8-add/3-double schedule, no general multiplications;
+* internal (partial) rounds apply M_I = J + diag(2^e_0, ..., 2^e_11)
+  (all-ones matrix plus a power-of-two diagonal): one lane-sum plus one
+  shift-reduce per lane. The exponents e_i are rejection-sampled from
+  SHA-256 in counter mode over the domain tag below (first attempt whose
+  M_I has an IRREDUCIBLE characteristic polynomial over GF(p) — the
+  paper's §5.3 condition ruling out invariant subspaces; re-verified by
+  tests/test_poseidon.py under RUN_SLOW);
+* round constants: rejection-sampled from SHA-256 in counter mode —
+  12 per external round, 1 (lane 0) per internal round, per the spec.
+
+Security margin: the Poseidon2 analysis reuses Poseidon's statistical and
+algebraic bounds (paper §4): for (p, t, alpha) = (2^64 - 2^32 + 1, 12, 7)
+at 128-bit security they require R_F >= 8 with R_P >= ~22 including the
+recommended margins — exactly this instance, matching the round numbers
+plonky2/Plonky3 ship for Goldilocks width 12. The linear-layer conditions
+(M_E MDS on 4-blocks, M_I invariant-subspace-free) are the two properties
+pinned by our derivation and tests.
 
 Two implementations with identical outputs:
 * scalar/python-int (`permute_s`) for the host challenger,
@@ -43,7 +56,7 @@ import hashlib
 import numpy as np
 
 from ..fields import goldilocks as gl
-from ..fields.goldilocks import P
+from ..fields.goldilocks import M32, NEG, P, _c
 
 WIDTH = 12
 RATE = 8
@@ -53,99 +66,67 @@ N_PARTIAL = 22
 N_ROUNDS = N_FULL + N_PARTIAL
 ALPHA = 7
 
-_DOMAIN = b"starky_bls12_381_tpu/poseidon-gl12/v1"
+_DOMAIN = b"starky_bls12_381_tpu/poseidon2-gl12/v1"
+
+# the Poseidon2 paper's 4x4 building block (§5.1)
+M4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
+
+# internal-diagonal exponents: M_I = J + diag(2^e_i). Derived by
+# rejection sampling (domain tag | "diag" | attempt | counter, byte 0
+# mod 40 + 1, distinct) — attempts 0-2 fail the irreducibility check,
+# attempt 3 passes; see tests/test_poseidon.py::test_internal_matrix_secure.
+DIAG_EXP = (9, 5, 12, 37, 36, 7, 35, 8, 34, 2, 10, 20)
+_DIAG_ATTEMPT = 3
 
 
 def _derive_constants():
+    """118 round constants: 12 per external round, 1 per internal round
+    (lane 0), stored as a (30, 12) table with structural zeros."""
     consts = []
     ctr = 0
-    while len(consts) < N_ROUNDS * WIDTH:
+    need = N_FULL * WIDTH + N_PARTIAL
+    while len(consts) < need:
         h = hashlib.sha256(_DOMAIN + b"|rc|" + str(ctr).encode()).digest()
         v = int.from_bytes(h[:8], "little")
         ctr += 1
         if v < P:
             consts.append(v)
-    rc = [consts[r * WIDTH : (r + 1) * WIDTH] for r in range(N_ROUNDS)]
-    mds = [[gl.inv_s((i + 12 + j) % P) for j in range(WIDTH)] for i in range(WIDTH)]
-    return rc, mds
+    rc = [[0] * WIDTH for _ in range(N_ROUNDS)]
+    half = N_FULL // 2
+    it = iter(consts)
+    for r in range(N_ROUNDS):
+        if half <= r < half + N_PARTIAL:
+            rc[r][0] = next(it)
+        else:
+            for i in range(WIDTH):
+                rc[r][i] = next(it)
+    return rc
 
 
-ROUND_CONSTANTS, MDS = _derive_constants()
-_MDS_NP = np.asarray(MDS, dtype=np.uint64)  # (12, 12)
+ROUND_CONSTANTS = _derive_constants()
 _RC_NP = np.asarray(ROUND_CONSTANTS, dtype=np.uint64)  # (30, 12)
 
-
-# ---------------------------------------------------------------------------
-# Optimized partial rounds (bit-identical sparse factorization).
-#
-# A partial round is s -> M @ sbox0(s + C). Writing M = M' @ M'' with
-# M' = blockdiag(1, H) and M'' = [[m00, u^T], [H^{-1} w, I]] (where
-# M = [[m00, u^T], [w, H]]), M' commutes with the coord-0-only sbox, so the
-# whole partial-round chain factors as
-#     (M f)^R = M'_R  o  (M''_R f) o ... o (M''_1 f),
-# with M_1 = M, M_{i+1} = M @ M'_i, and round constants transformed as
-# C_i -> blockdiag(1, H_{i-1}^{-1}) @ C_i.  Each M'' application costs
-# 1 + (t-1) + (t-1) = 23 modmuls instead of t^2 = 144, which is what makes
-# Poseidon leaf-hashing of 90k-column LDEs cheap on the VPU (docs/PERF.md).
-# The scalar path `permute_s` keeps the textbook round structure and the
-# test suite pins the two paths equal.
-# ---------------------------------------------------------------------------
-
-
-def _mat_inv_mod(mat):
-    """Inverse of a square matrix of python ints mod P (Gauss-Jordan)."""
-    n = len(mat)
-    a = [[mat[i][j] % P for j in range(n)] + [1 if j == i else 0 for j in range(n)] for i in range(n)]
-    for col in range(n):
-        piv = next(r for r in range(col, n) if a[r][col] % P)
-        a[col], a[piv] = a[piv], a[col]
-        inv = gl.inv_s(a[col][col])
-        a[col] = [x * inv % P for x in a[col]]
-        for r in range(n):
-            if r != col and a[r][col]:
-                f = a[r][col]
-                a[r] = [(a[r][j] - f * a[col][j]) % P for j in range(2 * n)]
-    return [row[n:] for row in a]
+# dense forms of the two linear layers (for the in-AIR constraint tables
+# and the scalar oracle; the batched path uses the shift-add schedules)
+_ME = [[0] * WIDTH for _ in range(WIDTH)]
+for _bi in range(3):
+    for _bj in range(3):
+        for _i in range(4):
+            for _j in range(4):
+                _ME[_bi * 4 + _i][_bj * 4 + _j] = M4[_i][_j] * (2 if _bi == _bj else 1)
+M_EXTERNAL = tuple(tuple(row) for row in _ME)
+del _ME
+M_INTERNAL = tuple(
+    tuple((pow(2, DIAG_EXP[i], P) + 1) % P if i == j else 1 for j in range(WIDTH))
+    for i in range(WIDTH)
+)
+_ME_NP = np.asarray(M_EXTERNAL, dtype=np.uint64)
+_MI_NP = np.asarray(M_INTERNAL, dtype=np.uint64)
 
 
-def _mat_mul_mod(a, b):
-    return [[sum(a[i][k] * b[k][j] for k in range(len(b))) % P for j in range(len(b[0]))] for i in range(len(a))]
-
-
-def _derive_fast_partial():
+def round_is_full(r: int) -> bool:
     half = N_FULL // 2
-    t = WIDTH
-    m00s, us, whats, rcs = [], [], [], []
-    m_i = [row[:] for row in MDS]
-    h_prev_inv = [[1 if i == j else 0 for j in range(t - 1)] for i in range(t - 1)]
-    h = None
-    for i in range(N_PARTIAL):
-        m00 = m_i[0][0]
-        u = [m_i[0][j] for j in range(1, t)]
-        w = [[m_i[j][0]] for j in range(1, t)]
-        h = [[m_i[j][k] for k in range(1, t)] for j in range(1, t)]
-        h_inv = _mat_inv_mod(h)
-        w_hat = [row[0] for row in _mat_mul_mod(h_inv, w)]
-        m00s.append(m00)
-        us.append(u)
-        whats.append(w_hat)
-        c = ROUND_CONSTANTS[half + i]
-        c_rest = _mat_mul_mod(h_prev_inv, [[x] for x in c[1:]])
-        rcs.append([c[0]] + [row[0] for row in c_rest])
-        h_prev_inv = h_inv
-        if i + 1 < N_PARTIAL:
-            m_prime = [[1 if (j == 0 and k == 0) else (h[j - 1][k - 1] if j and k else 0) for k in range(t)] for j in range(t)]
-            m_i = _mat_mul_mod(MDS, m_prime)
-    return (
-        np.asarray(m00s, dtype=np.uint64),  # (R_P,)
-        np.asarray(us, dtype=np.uint64),  # (R_P, 11)
-        np.asarray(whats, dtype=np.uint64),  # (R_P, 11)
-        np.asarray(rcs, dtype=np.uint64),  # (R_P, 12)
-        np.asarray(h, dtype=np.uint64),  # (11, 11) final dense block
-    )
-
-
-_FP_M00, _FP_U, _FP_WHAT, _FP_RC, _FP_DENSE = _derive_fast_partial()
+    return not (half <= r < half + N_PARTIAL)
 
 
 # ---------------------------------------------------------------------------
@@ -159,17 +140,20 @@ def _sbox_s(x: int) -> int:
     return x3 * x3 % P * x % P
 
 
+def _mat_s(mat, s):
+    return [sum(mat[i][j] * s[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+
+
 def permute_s(state):
     """Permute a list of 12 python ints (canonical)."""
-    s = list(state)
-    half = N_FULL // 2
+    s = _mat_s(M_EXTERNAL, [x % P for x in state])  # initial external layer
     for r in range(N_ROUNDS):
-        s = [(s[i] + ROUND_CONSTANTS[r][i]) % P for i in range(WIDTH)]
-        if half <= r < half + N_PARTIAL:
-            s[0] = _sbox_s(s[0])
+        if round_is_full(r):
+            s = [_sbox_s((s[i] + ROUND_CONSTANTS[r][i]) % P) for i in range(WIDTH)]
+            s = _mat_s(M_EXTERNAL, s)
         else:
-            s = [_sbox_s(x) for x in s]
-        s = [sum(MDS[i][j] * s[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+            s[0] = _sbox_s((s[0] + ROUND_CONSTANTS[r][0]) % P)
+            s = _mat_s(M_INTERNAL, s)
     return s
 
 
@@ -189,6 +173,94 @@ def compress_s(left, right):
     state = list(left) + list(right) + [0] * (WIDTH - 2 * CAP)
     state = permute_s(state)
     return tuple(state[:CAP])
+
+
+# ---------------------------------------------------------------------------
+# Batched permutation: state shape (..., 12) uint64 array (numpy or jnp).
+#
+# All linear-layer work is doublings / shift-reduces / adds: `_dbl` is
+# 2x mod p, `_shl` is x * 2^e mod p via a 64+e-bit split and the
+# Goldilocks 128-bit reduction (2^64 = 2^32 - 1 mod p) — no multiplier
+# in any of them, which is the entire point of this instance on a VPU
+# whose u64 multiply is ~100 emulated i32 ops.
+# ---------------------------------------------------------------------------
+
+
+def _reduce128(hi, lo, xp):
+    """(hi*2^64 + lo) mod p, branchless."""
+    c32, cNEG, cP = _c(xp, 32), _c(xp, NEG), _c(xp, P)
+    hi_hi = hi >> c32
+    hi_lo = hi & _c(xp, M32)
+    t0 = lo - hi_hi
+    t0 = xp.where(lo < hi_hi, t0 - cNEG, t0)
+    t1 = (hi_lo << c32) - hi_lo  # hi_lo * (2^32 - 1), exact in u64
+    res = t0 + t1
+    res = res + xp.where(res < t0, cNEG, _c(xp, 0))
+    return xp.where(res >= cP, res - cP, res)
+
+
+def _dbl(x, xp):
+    """2x mod p for canonical x."""
+    cP = _c(xp, P)
+    t = (x << _c(xp, 1)) + (x >> _c(xp, 63)) * _c(xp, NEG)
+    return xp.where(t >= cP, t - cP, t)
+
+
+def _shl(x, e: int, xp):
+    """x * 2^e mod p for canonical x, 1 <= e <= 63."""
+    return _reduce128(x >> _c(xp, 64 - e), x << _c(xp, e), xp)
+
+
+def _m4_block(a, b, c, d, xp):
+    """M4 @ (a,b,c,d) via the paper's add/double schedule (§5.1)."""
+    t0 = gl.gl_add(a, b)
+    t1 = gl.gl_add(c, d)
+    t2 = gl.gl_add(_dbl(b, xp), t1)
+    t3 = gl.gl_add(_dbl(d, xp), t0)
+    t4 = gl.gl_add(_dbl(_dbl(t1, xp), xp), t3)
+    t5 = gl.gl_add(_dbl(_dbl(t0, xp), xp), t2)
+    t6 = gl.gl_add(t3, t5)
+    t7 = gl.gl_add(t2, t4)
+    return t6, t5, t7, t4
+
+
+def _external_layer(state, xp):
+    """state (..., 12) -> M_E @ state = block M4 + block-sum combine."""
+    cols = [state[..., i] for i in range(WIDTH)]
+    blocks = [_m4_block(*cols[4 * b : 4 * b + 4], xp) for b in range(3)]
+    sums = [gl.gl_add(gl.gl_add(blocks[0][i], blocks[1][i]), blocks[2][i]) for i in range(4)]
+    out = [gl.gl_add(blocks[b][i], sums[i]) for b in range(3) for i in range(4)]
+    return xp.stack(out, axis=-1)
+
+
+def _internal_layer(state, xp):
+    """state (..., 12) -> M_I @ state = lane-sum + 2^e_i shifts."""
+    total = gl.gl_sum(state, axis=-1)
+    cols = [
+        gl.gl_add(total, _shl(state[..., i], DIAG_EXP[i], xp)) for i in range(WIDTH)
+    ]
+    return xp.stack(cols, axis=-1)
+
+
+def _sbox(x):
+    x2 = gl.gl_mul(x, x)
+    x3 = gl.gl_mul(x2, x)
+    return gl.gl_mul(gl.gl_mul(x3, x3), x)
+
+
+def permute(state):
+    """Permute a (..., 12) uint64 array (bit-identical to `permute_s`)."""
+    xp = gl._xp(state)
+    asx = (lambda a: a) if xp is np else xp.asarray
+    rc = asx(_RC_NP)
+    state = _external_layer(state, xp)
+    for r in range(N_ROUNDS):
+        if round_is_full(r):
+            state = _external_layer(_sbox(gl.gl_add(state, rc[r])), xp)
+        else:
+            s0 = _sbox(gl.gl_add(state[..., :1], rc[r][:1]))
+            state = _internal_layer(xp.concatenate([s0, state[..., 1:]], axis=-1), xp)
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -237,54 +309,6 @@ def hash_row_s(elements):
     while len(digs) > 1:
         digs = [compress_s(digs[2 * i], digs[2 * i + 1]) for i in range(len(digs) // 2)]
     return digs[0]
-
-
-# ---------------------------------------------------------------------------
-# Batched permutation: state shape (..., 12) uint64 array (numpy or jnp).
-# ---------------------------------------------------------------------------
-
-
-def _mds_layer(state, xp):
-    """state (..., 12) -> MDS @ state, mod p, via tree-reduced products."""
-    mds = _MDS_NP if xp is np else xp.asarray(_MDS_NP)
-    prod = gl.gl_mul(state[..., None, :], mds)  # (..., 12out, 12in)
-    return gl.gl_sum(prod, axis=-1)
-
-
-def _sbox(x):
-    x2 = gl.gl_mul(x, x)
-    x3 = gl.gl_mul(x2, x)
-    return gl.gl_mul(gl.gl_mul(x3, x3), x)
-
-
-def permute(state):
-    """Permute a (..., 12) uint64 array (fast-partial-round form;
-    bit-identical to the textbook `permute_s`, see factorization note
-    above)."""
-    xp = gl._xp(state)
-    asx = (lambda a: a) if xp is np else xp.asarray
-    rc = asx(_RC_NP)
-    half = N_FULL // 2
-    for r in range(half):
-        state = _mds_layer(_sbox(gl.gl_add(state, rc[r])), xp)
-    fp_rc, fp_m00, fp_u, fp_what = asx(_FP_RC), asx(_FP_M00), asx(_FP_U), asx(_FP_WHAT)
-    for i in range(N_PARTIAL):
-        state = gl.gl_add(state, fp_rc[i])
-        s0 = _sbox(state[..., 0:1])
-        rest = state[..., 1:]
-        new0 = gl.gl_add(
-            gl.gl_mul(s0, fp_m00[i]),
-            gl.gl_sum(gl.gl_mul(rest, fp_u[i]), axis=-1)[..., None],
-        )
-        new_rest = gl.gl_add(rest, gl.gl_mul(s0, fp_what[i]))
-        state = xp.concatenate([new0, new_rest], axis=-1)
-    # final dense factor M'_{R_P} = blockdiag(1, H)
-    dense = asx(_FP_DENSE)
-    rest = gl.gl_sum(gl.gl_mul(state[..., None, 1:], dense), axis=-1)
-    state = xp.concatenate([state[..., 0:1], rest], axis=-1)
-    for r in range(half + N_PARTIAL, N_ROUNDS):
-        state = _mds_layer(_sbox(gl.gl_add(state, rc[r])), xp)
-    return state
 
 
 def hash_row_segments(rows, kseg: int):
@@ -355,7 +379,7 @@ def hash_rows(rows):
 
 def hash_flat_tree_arr(arr):
     """Digest of a flat uint64 array (numpy or device) via a batched
-    Poseidon binary tree: leaves = rate-sized chunks (zero-padded), then
+    Poseidon2 binary tree: leaves = rate-sized chunks (zero-padded), then
     pairwise compression. Returns a (4,) array on the input's backend."""
     xp = gl._xp(arr)
     a = arr.reshape(-1)

@@ -6,11 +6,12 @@ verifying Merkle authentication paths with the backend hash
 (plonky2's FRI verifier inside `recursive_proof`, aggregate_proof.rs:439).
 This AIR proves: "digest LEAF at index given by the per-level direction
 bits hashes through the provided siblings to ROOT" using the backend's
-Poseidon-GL12 2-to-1 compression (backend/poseidon.py compress_s).
+Poseidon2-GL12 2-to-1 compression (backend/poseidon.py compress_s).
 
-Layout: each tree level occupies 31 rows — 30 Poseidon round rows plus a
-result row that doubles as the chaining boundary; the next level's round
-rows start immediately after, so a depth-d path uses 31*d + 1 rows. The
+Layout: each tree level occupies 32 rows — a pre row (raw digest-pair
+input), 30 Poseidon2 round rows, and a result row that doubles as the
+chaining boundary; the next level's window starts immediately after, so
+a depth-d path uses 32*d + 1 rows. The
 chaining constraint (gated by the c_chain constant column on result rows)
 rebuilds the next permutation input from the current digest, the sibling
 witness, and the direction bit:
@@ -38,7 +39,7 @@ from . import poseidon_block as pb
 N_ROUNDS = pb.N_ROUNDS
 WIDTH = pb.WIDTH
 CAP = ps.CAP
-ROWS_PER_LEVEL = pb.ROWS_PER_PERM  # 31: result row shared with next level
+ROWS_PER_LEVEL = pb.ROWS_PER_PERM  # 32: pre + rounds + result row
 
 # trace columns: poseidon block + sibling digest + direction bit
 S = pb.S
@@ -130,7 +131,7 @@ class MerklePathAir(Air):
             s[CAP : 2 * CAP] - (bit0 * leaf + (1 - bit0) * ctx.local(SIB, CAP)), ("row", 0)
         )
         ctx.constraint(s[2 * CAP :], ("row", 0))
-        last_res = self._level_base(self.depth - 1) + N_ROUNDS
+        last_res = self._level_base(self.depth - 1) + pb.RESULT_OFF
         ctx.constraint(s[:CAP] - root, ("row", last_res))
         for lvl in range(1, self.depth):
             brow = self._level_base(lvl) - 1

@@ -4,10 +4,11 @@ This is the foundation of the recursive-verification layer (the reference
 wraps each STARK in a plonky2 SNARK whose dominant cost is re-hashing
 Merkle paths and the Fiat-Shamir transcript in-circuit,
 aggregate_proof.rs:417-451). A recursive STARK verifier needs the backend's
-own hash — Poseidon-GL12 (backend/poseidon.py) — provable inside an AIR;
+own hash — Poseidon2-GL12 (backend/poseidon.py) — provable inside an AIR;
 this chip provides exactly that: N permutations per trace, one round per
-row, 32-row blocks (30 rounds + result row + pad), inputs/outputs bound to
-public inputs. Shared block structure/constraints: poseidon_block.py.
+row, 32-row blocks (pre row + 30 rounds + result row), inputs/outputs
+bound to public inputs. Shared block structure/constraints:
+poseidon_block.py.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from ..backend import poseidon as ps
 from ..backend.air import Air
 from . import poseidon_block as pb
 
-ROWS_PER_PERM = 32  # 30 round rows + result row + 1 pad row
+ROWS_PER_PERM = pb.ROWS_PER_PERM  # 32: pre row + 30 round rows + result row
 N_ROUNDS = pb.N_ROUNDS
 WIDTH = pb.WIDTH
 TOTAL_COLS = pb.BLOCK_COLS
@@ -26,7 +27,7 @@ C_TOTAL = pb.C_TOTAL
 
 
 class PoseidonAir(Air):
-    """num_perms Poseidon-GL12 permutations; PIs = [in(12) out(12)] each."""
+    """num_perms Poseidon2-GL12 permutations; PIs = [in(12) out(12)] each."""
 
     def __init__(self, num_perms: int = 8):
         self.num_perms = num_perms
@@ -62,4 +63,4 @@ class PoseidonAir(Air):
             pin = ctx.pi(p * 2 * WIDTH, WIDTH)
             pout = ctx.pi(p * 2 * WIDTH + WIDTH, WIDTH)
             ctx.constraint(s - pin, ("row", base))
-            ctx.constraint(s - pout, ("row", base + N_ROUNDS))
+            ctx.constraint(s - pout, ("row", base + pb.RESULT_OFF))

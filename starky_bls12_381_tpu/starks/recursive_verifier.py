@@ -75,7 +75,8 @@ WIDTH = pb.WIDTH
 RATE = ps.RATE
 CAP = ps.CAP
 N_ROUNDS = pb.N_ROUNDS
-RPP = pb.ROWS_PER_PERM  # 31
+RPP = pb.ROWS_PER_PERM  # 32
+RESULT = pb.RESULT_OFF  # 31: result-row offset in a window
 
 # trace columns after the shared poseidon block
 SIB = pb.BLOCK_COLS  # 4: merkle sibling digests
@@ -269,7 +270,7 @@ class RecursiveVerifierAir(Air):
         for seg in range(s):
             blocks = [perm() for _ in range(kseg)]
             absorbs.extend(blocks)
-            dig_row = blocks[-1] + N_ROUNDS
+            dig_row = blocks[-1] + RESULT
             stack.append((0, seg))
             slot = len(stack) - 1
             segs.append((blocks, dig_row, slot))
@@ -282,7 +283,7 @@ class RecursiveVerifierAir(Air):
                 a_slot = len(stack)
                 merges.append((base, a_slot, a_slot + 1, d, na // 2))
                 stack.append((d + 1, na // 2))
-                pushes.append((base + N_ROUNDS, a_slot, (d + 1, na // 2)))
+                pushes.append((base + RESULT, a_slot, (d + 1, na // 2)))
         assert len(stack) == 1, "segment count must be a power of two"
         return segs, merges, pushes, absorbs
 
@@ -294,12 +295,12 @@ class RecursiveVerifierAir(Air):
         p = self.plan
         for bases, kind in ((p["t_path"], "t"), (p["q_path"], "q")):
             sels = [bases[0]] + [b - 1 for b in bases[1:]]
-            yield bases, sels, bases[-1] + N_ROUNDS, kind
+            yield bases, sels, bases[-1] + RESULT, kind
         for pair_base, bases in p["fri"]:
             if not bases:
                 continue
-            sels = [pair_base + N_ROUNDS] + [b - 1 for b in bases[1:]]
-            yield bases, sels, bases[-1] + N_ROUNDS, "f"
+            sels = [pair_base + RESULT] + [b - 1 for b in bases[1:]]
+            yield bases, sels, bases[-1] + RESULT, "f"
 
     # ------------------------------------------------------------------
     # constants
@@ -311,16 +312,13 @@ class RecursiveVerifierAir(Air):
         rpq = self.rows_per_query
         p = self.plan
         tpl = np.zeros((rpq, self.c_total), dtype=np.uint64)
-        # poseidon round-constant block, vectorized over every permutation
+        # poseidon window constants, vectorized over every permutation:
+        # tile the one-window template (pre row + rc/full/partial rounds)
         bases = np.asarray(p["perms"], dtype=np.int64)
-        rows = (bases[:, None] + np.arange(N_ROUNDS)[None, :]).reshape(-1)
-        tpl[rows[:, None], np.arange(pb.C_RC, pb.C_RC + WIDTH)[None, :]] = np.tile(
-            ps._RC_NP, (bases.shape[0], 1)
+        rows = (bases[:, None] + np.arange(RPP)[None, :]).reshape(-1)
+        tpl[rows[:, None], np.arange(pb.C_TOTAL)[None, :]] = np.tile(
+            pb.perm_const_template(), (bases.shape[0], 1)
         )
-        tpl[rows, pb.C_ROUND] = 1
-        fullv = np.asarray([1 if pb.round_is_full(r) else 0 for r in range(N_ROUNDS)], dtype=np.uint64)
-        tpl[rows, pb.C_FULL] = np.tile(fullv, bases.shape[0])
-        tpl[rows, pb.C_PARTIAL] = np.tile(1 - fullv, bases.shape[0])
         # sponge wiring: capacity carry within a segment, fresh first blocks
         for seg_list in (p["t_seg"], p["q_seg"]):
             for blocks, _dig, _slot in seg_list:
@@ -532,7 +530,7 @@ class RecursiveVerifierAir(Air):
 
         # ---- path cap + position bindings ---------------------------------
         for path, cap_field in ((p["t_path"], "tcap"), (p["q_path"], "qcap")):
-            capbind = path[-1] + N_ROUNDS
+            capbind = path[-1] + RESULT
             ctx.constraint(s[:CAP] - qpi_vec(cap_field, CAP), ROW(capbind))
             ctx.constraint(ctx.local(POSA) - ixlow, ROW(capbind))
 
@@ -589,11 +587,11 @@ class RecursiveVerifierAir(Air):
             # path levels, the pair digest IS the cap entry)
             fcap = qpi_vec("fcap", CAP, layer=l)
             if path:
-                capbind = path[-1] + N_ROUNDS
+                capbind = path[-1] + RESULT
                 ctx.constraint(s[:CAP] - fcap, ROW(capbind))
                 ctx.constraint(ctx.local(POSA) - qpi("poslow", layer=l), ROW(capbind))
             else:
-                ctx.constraint(s[:CAP] - fcap, ROW(pair_base + N_ROUNDS))
+                ctx.constraint(s[:CAP] - fcap, ROW(pair_base + RESULT))
 
         # final value binding (outer verifier evaluates the final poly)
         if self.L:
@@ -720,7 +718,7 @@ class RecursiveVerifierAir(Air):
                 self._fill_merkle(
                     trace, r0s, path, out[:, :CAP],
                     np.stack([np.stack(qrs[q].steps[l].path) for q in range(Q)]),
-                    pos_in, leaf_result_row=pair_base + N_ROUNDS,
+                    pos_in, leaf_result_row=pair_base + RESULT,
                 )
             pos = pos_in
             shift_l = shift_l * shift_l % P
@@ -843,7 +841,7 @@ class RecursiveVerifierAir(Air):
         sibs = np.asarray(sibs, dtype=np.uint64)
         sel0 = path[0] if leaf_result_row is None else leaf_result_row
         sels = [sel0] + [b - 1 for b in path[1:]]
-        capbind = path[-1] + N_ROUNDS
+        capbind = path[-1] + RESULT
         cum = np.zeros(Q, dtype=np.uint64)
         for v, base in enumerate(path):
             bit = ((indices >> v) & 1).astype(np.uint64)

@@ -4,7 +4,7 @@ Third chip of the recursive-verification layer (with PoseidonAir and
 MerklePathAir): Merkle LEAF digests and the Fiat-Shamir transcript are
 sponge hashes (backend/poseidon.py hash_elements_s / hash_rows — overwrite
 mode, rate 8), so a recursive STARK verifier must be able to prove long
-absorb chains. One permutation per 31-row block (as merkle_air); the
+absorb chains. One permutation per 32-row block (as merkle_air); the
 chaining constraint at each block boundary overwrites the rate lanes with
 the next message chunk (from PIs) and carries the capacity lanes.
 
@@ -86,5 +86,5 @@ class SpongeAir(Air):
             brow = self._block_base(k) - 1  # result row of block k-1
             ctx.constraint(ctx.next(S + RATE, WIDTH - RATE) - s[RATE:], ("row", brow))
         digest = ctx.pi(self.PIS_DIGEST, CAP)
-        last_res = self._block_base(self.num_chunks - 1) + N_ROUNDS
+        last_res = self._block_base(self.num_chunks - 1) + pb.RESULT_OFF
         ctx.constraint(s[:CAP] - digest, ("row", last_res))

@@ -23,7 +23,7 @@ one buffer are a single block's m > 1.
 
 PIs: absorbed elements (schedule order) then squeezed challenges
 (schedule order). Shared permutation structure/constraints:
-poseidon_block.py (31 rows per permutation, degree <= 3, rate-1 config).
+poseidon_block.py (32 rows per permutation, degree <= 3, rate-1 config).
 """
 
 from __future__ import annotations
@@ -113,7 +113,7 @@ class TranscriptAir(Air):
                 ctx.constraint(
                     ctx.next(S + k, WIDTH - k) - ctx.local(S + k, WIDTH - k), ("row", base - 1)
                 )
-            res_row = base + N_ROUNDS
+            res_row = base + pb.RESULT_OFF
             for j in range(m):
                 pi = ctx.pi(self.PIS_SQUEEZED + si + j)
                 ctx.constraint(ctx.local(S + RATE - 1 - j) - pi, ("row", res_row))

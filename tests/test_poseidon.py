@@ -1,4 +1,7 @@
+import os
+
 import numpy as np
+import pytest
 
 from starky_bls12_381_tpu.backend import poseidon as ps
 from starky_bls12_381_tpu.fields.goldilocks import P
@@ -66,3 +69,51 @@ def test_permutation_changes_state_and_is_deterministic():
     s = ps.permute_s([0] * 12)
     assert s != [0] * 12
     assert s == ps.permute_s([0] * 12)
+
+
+def test_poseidon2_layers_match_dense_matrices():
+    """The shift-add schedules (_external_layer / _internal_layer) must
+    equal the dense M_EXTERNAL / M_INTERNAL matrices the in-AIR
+    constraints lift, on random and boundary states."""
+    rng = np.random.default_rng(11)
+    states = rng.integers(0, P, size=(16, 12), dtype=np.uint64)
+    states[0] = 0
+    states[1] = np.uint64(P - 1)
+    for mat, layer in (
+        (ps.M_EXTERNAL, ps._external_layer),
+        (ps.M_INTERNAL, ps._internal_layer),
+    ):
+        ref = np.array(
+            [[sum(mat[i][j] * int(r[j]) for j in range(12)) % P for i in range(12)] for r in states],
+            dtype=np.uint64,
+        )
+        np.testing.assert_array_equal(layer(states, np), ref)
+
+
+def test_internal_diag_derivation():
+    """DIAG_EXP is pinned to its nothing-up-my-sleeve derivation: the
+    documented SHA-256 rejection-sampling stream at the recorded attempt."""
+    import hashlib
+
+    es, ctr, seen = [], 0, set()
+    while len(es) < 12:
+        h = hashlib.sha256(
+            ps._DOMAIN + b"|diag|" + str(ps._DIAG_ATTEMPT).encode() + b"|" + str(ctr).encode()
+        ).digest()
+        ctr += 1
+        v = h[0] % 40 + 1
+        if v not in seen:
+            seen.add(v)
+            es.append(v)
+    assert tuple(es) == ps.DIAG_EXP
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="RUN_SLOW not set")
+def test_internal_matrix_secure():
+    """Poseidon2 §5.3 condition: M_I has an irreducible characteristic
+    polynomial over GF(p) (rules out invariant subspaces)."""
+    import sympy
+
+    x = sympy.symbols("x")
+    M = sympy.Matrix(12, 12, lambda i, j: ps.M_INTERNAL[i][j])
+    assert sympy.Poly(M.charpoly(x).as_expr(), x, modulus=P).is_irreducible
