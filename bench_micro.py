@@ -77,6 +77,31 @@ def bench_poseidon():
     }
 
 
+def bench_poseidon_pallas():
+    """The hand-written Pallas u32-pair kernel vs the XLA u64 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from starky_bls12_381_tpu.backend import poseidon_pallas as pp
+
+    B = 1 << 20
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, gl.P, size=(B, ps.WIDTH), dtype=np.uint64)
+    dev = jnp.asarray(states)
+
+    def f(x):
+        return pp.permute(x).sum()
+
+    dt = _timeit(jax.jit(f), dev)
+    perms_s = B / dt
+    return {
+        "metric": "poseidon_pallas_perms_per_s",
+        "value": round(perms_s / 1e6, 2),
+        "unit": "Mperm/s",
+        "batch": B,
+    }
+
+
 def bench_ntt():
     import jax
     import jax.numpy as jnp
@@ -107,8 +132,11 @@ def bench_ntt():
 
 def main():
     out = {}
-    for fn in (bench_poseidon, bench_ntt):
-        rec = fn()
+    for fn in (bench_poseidon, bench_poseidon_pallas, bench_ntt):
+        try:
+            rec = fn()
+        except Exception as exc:  # keep the other kernels' numbers
+            rec = {"metric": fn.__name__, "error": f"{type(exc).__name__}: {exc}"[:200]}
         print(json.dumps(rec), flush=True)
         out[rec["metric"]] = rec
     path = os.environ.get("BENCH_RECORD")

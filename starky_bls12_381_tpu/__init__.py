@@ -2,9 +2,11 @@
 
 A brand-new JAX/XLA/Pallas implementation with the capabilities of the
 Rust reference Electron-Labs/starky_bls12_381 (see /root/reference and
-SURVEY.md): five AIR "chips" proving BLS12-381 aggregate-signature
-verification (PairingPrecomp, MillerLoop, FP12Mul, FinalExponentiate,
-ECCAggregate) over a Goldilocks-field FRI STARK backend rebuilt from
+SURVEY.md): the reference's five STARKs (PairingPrecomp, MillerLoop, FP12Mul,
+FinalExponentiate, ECCAggregate) plus seven further in-proof AIRs
+(SHA-256, XMD field reduction, hash-to-curve, point checks, recursion
+chips) proving BLS12-381 aggregate-signature verification over a
+Goldilocks-field FRI STARK backend rebuilt from
 scratch for TPU (coset-LDE NTT, Poseidon Merkle caps, DEEP-FRI), with
 multi-device sharding via jax.sharding / shard_map.
 

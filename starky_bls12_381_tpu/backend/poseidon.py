@@ -27,11 +27,15 @@ by plonky2 and Plonky3, the backend of the reference's proof stack):
   8-add/3-double schedule, no general multiplications;
 * internal (partial) rounds apply M_I = J + diag(2^e_0, ..., 2^e_11)
   (all-ones matrix plus a power-of-two diagonal): one lane-sum plus one
-  shift-reduce per lane. The exponents e_i are rejection-sampled from
-  SHA-256 in counter mode over the domain tag below (first attempt whose
-  M_I has an IRREDUCIBLE characteristic polynomial over GF(p) — the
-  paper's §5.3 condition ruling out invariant subspaces; re-verified by
-  tests/test_poseidon.py under RUN_SLOW);
+  shift-reduce per lane. The exponents e_i are derived from SHA-256 in
+  counter mode over the domain tag below (each counter's byte 0 reduced
+  mod 40, +1; first 12 DISTINCT values per attempt), taking the first
+  attempt whose M_I has an IRREDUCIBLE characteristic polynomial over
+  GF(p) — the paper's §5.3 condition ruling out invariant subspaces;
+  re-verified by tests/test_poseidon.py under RUN_SLOW. (The mod-40
+  reduction is mildly biased toward small exponents; irrelevant for a
+  nothing-up-my-sleeve parameter, the security condition is the
+  irreducibility check itself);
 * round constants: rejection-sampled from SHA-256 in counter mode —
   12 per external round, 1 (lane 0) per internal round, per the spec.
 
@@ -71,9 +75,10 @@ _DOMAIN = b"starky_bls12_381_tpu/poseidon2-gl12/v1"
 # the Poseidon2 paper's 4x4 building block (§5.1)
 M4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
 
-# internal-diagonal exponents: M_I = J + diag(2^e_i). Derived by
-# rejection sampling (domain tag | "diag" | attempt | counter, byte 0
-# mod 40 + 1, distinct) — attempts 0-2 fail the irreducibility check,
+# internal-diagonal exponents: M_I = J + diag(2^e_i). Derived from
+# SHA-256(domain tag | "diag" | attempt | counter): each counter's byte 0
+# reduced mod 40, +1; first 12 distinct values form the attempt's
+# candidate diagonal — attempts 0-2 fail the irreducibility check,
 # attempt 3 passes; see tests/test_poseidon.py::test_internal_matrix_secure.
 DIAG_EXP = (9, 5, 12, 37, 36, 7, 35, 8, 34, 2, 10, 20)
 _DIAG_ATTEMPT = 3
@@ -249,8 +254,18 @@ def _sbox(x):
 
 
 def permute(state):
-    """Permute a (..., 12) uint64 array (bit-identical to `permute_s`)."""
+    """Permute a (..., 12) uint64 array (bit-identical to `permute_s`).
+
+    STARKY_PALLAS=1 routes 2-D device batches through the hand-written
+    Pallas u32-pair kernel (backend/poseidon_pallas.py); default is the
+    XLA u64 path below."""
+    import os
+
     xp = gl._xp(state)
+    if xp is not np and state.ndim == 2 and os.environ.get("STARKY_PALLAS") == "1":
+        from . import poseidon_pallas as pp
+
+        return pp.permute(state)
     asx = (lambda a: a) if xp is np else xp.asarray
     rc = asx(_RC_NP)
     state = _external_layer(state, xp)
@@ -398,7 +413,11 @@ def hash_flat_tree(arr) -> tuple:
     """Host tuple form of hash_flat_tree_arr (challenger absorption).
     Large inputs route through the jax-CPU jitted path."""
     a = np.asarray(arr, dtype=np.uint64)
-    if a.size >= 1 << 14:
+    # jit-compile only for genuinely large inputs: each (fn, shape) pair
+    # costs minutes of XLA-CPU compile on a small host, and eager numpy
+    # wins below ~1M elements (the test suite lives entirely down there —
+    # per-shape compiles were the bulk of its wall time, VERDICT r3 #8)
+    if a.size >= 1 << 20:
         return tuple(int(x) for x in _host_fast(hash_flat_tree_arr, a))
     return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(a)))
 
@@ -428,7 +447,7 @@ def _host_fast(fn, *arrays, key: str | None = None):
 
 def hash_rows_host_fast(rows: np.ndarray) -> np.ndarray:
     """hash_rows for the host verifier via the jax-CPU jitted path."""
-    if rows.size < 1 << 14:
+    if rows.size < 1 << 22:  # see hash_flat_tree: eager below ~4M elements
         return hash_rows(rows)
     return _host_fast(hash_rows, rows)
 

@@ -161,7 +161,7 @@ def test_compress_single_stage(committee):
 
 @slow
 def test_compress_full_bundle_roundtrip(committee):
-    """Full 11-stage prove -> compress -> serialize -> verify: ONE object,
+    """Full 12-stage prove -> compress -> serialize -> verify: ONE object,
     one verify call, no per-stage handling by the caller (the reference's
     aggregate_recursive_proof capability, aggregate_proof.rs:459-671)."""
     from starky_bls12_381_tpu.aggregate import (

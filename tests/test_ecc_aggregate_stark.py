@@ -75,6 +75,49 @@ def test_prove_verify(air):
         verify(air, proof, bad, config)
 
 
+def test_duplicate_key_aggregates(air):
+    """A committee containing the SAME pubkey twice (both selected)
+    aggregates via the doubling window (u_d flag + G1DoubleGadget) —
+    the reference cannot prove this statement at all (its chord
+    identities are vacuous at x1 == x2, g1.rs)."""
+    pts = _points(8)
+    pts[1] = pts[0]  # duplicate: G appears twice
+    bits = [1, 1, 0, 1, 0, 0, 1, 0]
+    trace, pis = air.generate_trace(pts, bits)
+    # expected: G + G + 8G + 64G (doubling on the second window)
+    expect = bls.g1_add(bls.g1_add(bls.g1_double(pts[0]), pts[3]), pts[6])
+    from starky_bls12_381_tpu.chips import limbs
+
+    assert pis[-24:] == [int(x) for x in np.concatenate(
+        [limbs.to_limbs(expect[0]), limbs.to_limbs(expect[1])])]
+    assert_zero_residuals(air, trace, pis)
+    config = StarkConfig(rate_bits=1, pow_bits=8, num_queries=28)
+    proof = prove(air, trace, pis, config, xp=np)
+    verify(air, proof, pis, config)
+
+
+def test_malicious_doubling_flag_caught(air):
+    """Setting u_d on a genuine chord window must violate the
+    acc == point pinning (d1/d2 zero) constraints."""
+    pts = _points(8)
+    bits = [1, 1, 0, 0, 0, 0, 0, 0]
+    trace, pis = air.generate_trace(pts, bits)
+    bad = np.array(trace)
+    bad[12:24, air.u_d] = 1  # claim window 1 (G + 2G) is a doubling
+    with pytest.raises(AssertionError):
+        assert_zero_residuals(air, bad, pis)
+
+
+def test_infinity_prefix_rejected(air):
+    """acc + (-acc) cannot be represented: generate_trace raises."""
+    pts = _points(8)
+    g = pts[0]
+    pts[1] = (g[0], (-g[1]) % bls.P381)  # -G right after G
+    bits = [1, 1, 0, 0, 0, 0, 0, 0]
+    with pytest.raises(ValueError):
+        air.generate_trace(pts, bits)
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="RUN_SLOW not set")
 def test_prove_verify_512_points():
     """The reference's production configuration: 512 pubkeys
