@@ -409,17 +409,44 @@ def hash_flat_tree_arr(arr):
     return digs[0]
 
 
+def _fold_pairs_level(digs):
+    """One binary-compression level: (N, 4) -> (N/2, 4)."""
+    return compress_rows(digs[0::2], digs[1::2])
+
+
+def _host_fold_to_root(digs: np.ndarray) -> np.ndarray:
+    """Compress (N, 4) digests down to one digest on host, one SMALL
+    jitted program per level (shape-keyed, shared across callers). A
+    monolithic unrolled tree program costs minutes of XLA-CPU compile
+    per shape (the round-3 verifier's 853 s was mostly two such
+    compiles); per-level programs compile in seconds and are cached."""
+    while digs.shape[0] > 1:
+        if digs.shape[0] >= 1 << 11:
+            digs = _host_fast(_fold_pairs_level, digs, key=f"fold_pairs/{digs.shape[0]}")
+        else:
+            digs = np.asarray(_fold_pairs_level(digs))
+    return digs[0]
+
+
 def hash_flat_tree(arr) -> tuple:
     """Host tuple form of hash_flat_tree_arr (challenger absorption).
-    Large inputs route through the jax-CPU jitted path."""
+    Large inputs route leaf hashing + each fold level through small
+    jax-CPU jitted programs (identical digest to hash_flat_tree_arr)."""
     a = np.asarray(arr, dtype=np.uint64)
     # jit-compile only for genuinely large inputs: each (fn, shape) pair
-    # costs minutes of XLA-CPU compile on a small host, and eager numpy
-    # wins below ~1M elements (the test suite lives entirely down there —
+    # costs XLA-CPU compile time on a small host, and eager numpy wins
+    # below ~1M elements (the test suite lives entirely down there —
     # per-shape compiles were the bulk of its wall time, VERDICT r3 #8)
-    if a.size >= 1 << 20:
-        return tuple(int(x) for x in _host_fast(hash_flat_tree_arr, a))
-    return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(a)))
+    if a.size < 1 << 20:
+        return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(a)))
+    a = a.reshape(-1)
+    k = max(1, -(-a.size // RATE))
+    k_pad = 1 << (k - 1).bit_length()
+    pad = k_pad * RATE - a.size
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.uint64)])
+    leaves = _host_fast(hash_rows, a.reshape(k_pad, RATE), key=f"flat_leaves/{k_pad}")
+    return tuple(int(x) for x in _host_fold_to_root(leaves))
 
 
 _host_jits: dict = {}
@@ -446,10 +473,32 @@ def _host_fast(fn, *arrays, key: str | None = None):
 
 
 def hash_rows_host_fast(rows: np.ndarray) -> np.ndarray:
-    """hash_rows for the host verifier via the jax-CPU jitted path."""
+    """hash_rows for the host verifier via the jax-CPU jitted path:
+    segment sponges as ONE scan program (small: one permutation in the
+    scan body), then per-level fold programs — not the monolithic
+    hash_rows trace whose unrolled fold tree compiles for minutes."""
     if rows.size < 1 << 22:  # see hash_flat_tree: eager below ~4M elements
         return hash_rows(rows)
-    return _host_fast(hash_rows, rows)
+    n, c = rows.shape
+    _, s, kseg = leaf_plan(c)
+    pad = s * kseg * RATE - c
+    if pad:
+        rows = np.concatenate([rows, np.zeros((n, pad), dtype=np.uint64)], axis=1)
+    segs = _host_fast(
+        lambda r: hash_row_segments(r, kseg), rows, key=f"row_segs/{n}x{rows.shape[1]}x{kseg}"
+    )
+    digs = segs.reshape(n * s, CAP)
+    lvl = s
+    while lvl > 1:
+        pair = digs.reshape(n, lvl, CAP)
+        flat_l = np.ascontiguousarray(pair[:, 0::2].reshape(-1, CAP))
+        flat_r = np.ascontiguousarray(pair[:, 1::2].reshape(-1, CAP))
+        both = np.stack([flat_l, flat_r])
+        digs = _host_fast(
+            lambda b: compress_rows(b[0], b[1]), both, key=f"fold_lr/{flat_l.shape[0]}"
+        )
+        lvl //= 2
+    return digs.reshape(n, CAP)
 
 
 def compress_rows(left, right):

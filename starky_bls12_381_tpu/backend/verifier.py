@@ -19,13 +19,13 @@ from __future__ import annotations
 import numpy as np
 
 from ..fields import goldilocks as gl
-from . import fri, merkle
+from . import fri
 from . import poseidon as ps
 from .air import Ctx, ExtVectorAccessors, ExtVectorAlgebra
 from .challenger import Challenger
 from .config import StarkConfig
 from . import ntt
-from .prover import SHIFT, check_pow, ext_powers, filter_at_point
+from .prover import SHIFT, check_pow, ext_dot_ext, ext_powers, filter_at_point
 from .proof import StarkProof
 
 
@@ -166,20 +166,10 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     j2 = num_cols
     weights = ext_powers(gamma, j1 + j2)
     open1 = np.concatenate([proof.trace_local, proof.quotient_open], axis=0)
-    r1_zeta = gl.EXT_ZERO
-    for j in range(j1):
-        r1_zeta = gl.ext_add(
-            r1_zeta, gl.ext_mul((int(weights[j, 0]), int(weights[j, 1])), (int(open1[j, 0]), int(open1[j, 1])))
-        )
-    r2_zetag = gl.EXT_ZERO
-    for j in range(j2):
-        r2_zetag = gl.ext_add(
-            r2_zetag,
-            gl.ext_mul(
-                (int(weights[j1 + j, 0]), int(weights[j1 + j, 1])),
-                (int(proof.trace_next[j, 0]), int(proof.trace_next[j, 1])),
-            ),
-        )
+    # numpy-vectorized DEEP anchor sums (a python loop here is ~180k
+    # scalar ext muls for the 89k-column stark)
+    r1_zeta = ext_dot_ext(weights[:j1], open1.astype(np.uint64))
+    r2_zetag = ext_dot_ext(weights[j1:], proof.trace_next.astype(np.uint64))
 
     w_n0 = gl.primitive_root_of_unity(n0.bit_length() - 1)
 
@@ -196,17 +186,31 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     step_digs = ps.hash_rows(np.stack(step_rows)) if step_rows else np.zeros((0, 4), np.uint64)
     _mark("row_hashing")
 
-    si = 0
+    # Merkle paths: batched per tree/level (one numpy-vectorized Poseidon
+    # compression per level for ALL queries, instead of ~3k scalar
+    # permutations through the per-query python walk)
+    qs = proof.fri.query_rounds
+    _verify_paths_batch(
+        trace_leaf_digs, indices, [qr.trace_path for qr in qs], proof.trace_cap, "trace"
+    )
+    _verify_paths_batch(
+        q_leaf_digs, indices, [qr.quotient_path for qr in qs], proof.quotient_cap, "quotient"
+    )
+    nsteps = num_folds
+    for l in range(nsteps):
+        half = (n0 >> l) // 2
+        pos_l = [idx % half for idx in indices]
+        _verify_paths_batch(
+            step_digs[l::nsteps],
+            pos_l,
+            [qr.steps[l].path for qr in qs],
+            proof.fri.layer_caps[l],
+            f"FRI layer {l}",
+        )
+    _mark("paths")
+
     for qi, qr in enumerate(proof.fri.query_rounds):
         index = qr.index
-        _req(
-            merkle.verify_path(trace_leaf_digs[qi], index, qr.trace_path, proof.trace_cap),
-            f"trace Merkle path failed (query {qi})",
-        )
-        _req(
-            merkle.verify_path(q_leaf_digs[qi], index, qr.quotient_path, proof.quotient_cap),
-            f"quotient Merkle path failed (query {qi})",
-        )
         # DEEP value at x = SHIFT * w^index
         x = SHIFT * pow(w_n0, index, gl.P) % gl.P
         vals1 = np.concatenate([qr.trace_row, qr.quotient_row]).astype(np.uint64)
@@ -222,11 +226,6 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
         for l, st in enumerate(qr.steps):
             half = size_l // 2
             pos_in = pos % half
-            _req(
-                merkle.verify_path(step_digs[si], pos_in, st.path, proof.fri.layer_caps[l]),
-                f"FRI layer {l} Merkle path failed (query {qi})",
-            )
-            si += 1
             pair = [(int(st.pair[0, 0]), int(st.pair[0, 1])), (int(st.pair[1, 0]), int(st.pair[1, 1]))]
             mine = 0 if pos < half else 1
             _req(pair[mine] == value, f"FRI fold input mismatch at layer {l} (query {qi})")
@@ -249,3 +248,28 @@ def _ext_dot_base(weights: np.ndarray, values: np.ndarray):
     c0 = gl.gl_sum(gl.gl_mul(weights[:, 0], values), axis=0)
     c1 = gl.gl_sum(gl.gl_mul(weights[:, 1], values), axis=0)
     return (int(c0), int(c1))
+
+
+def _verify_paths_batch(leaf_digs, indices, paths, cap, what: str) -> None:
+    """Authenticate Q Merkle paths of equal length against one cap with
+    one batched Poseidon compression per LEVEL (semantics identical to
+    merkle.verify_path per query). Raises naming the first bad query."""
+    q = len(indices)
+    if q == 0:
+        return
+    digs = np.asarray(leaf_digs, dtype=np.uint64).reshape(q, 4)
+    idx = np.asarray(indices, dtype=np.int64)
+    length = len(paths[0])
+    _req(all(len(p) == length for p in paths), f"{what} Merkle path length mismatch")
+    for lvl in range(length):
+        sibs = np.stack([np.asarray(p[lvl], dtype=np.uint64) for p in paths])
+        bit = (idx & 1).astype(bool)[:, None]
+        left = np.where(bit, sibs, digs)
+        right = np.where(bit, digs, sibs)
+        digs = np.asarray(ps.compress_rows(left, right))
+        idx >>= 1
+    cap = np.asarray(cap, dtype=np.uint64)
+    ok = (digs == cap[idx]).all(axis=1)
+    if not ok.all():
+        bad = int(np.argwhere(~ok)[0][0])
+        raise VerificationError(f"{what} Merkle path failed (query {bad})")

@@ -60,6 +60,33 @@ def test_prove_verify_roundtrip(fib_setup):
     verify(air, proof, pis, config)
 
 
+def test_tampered_merkle_paths_rejected(fib_setup):
+    """The batched per-level path authentication must reject a flipped
+    sibling digest in each of the three path families."""
+    import copy
+
+    air, trace, pis, config, proof = fib_setup
+    for mutate, name in [
+        (lambda p: p.fri.query_rounds[0].trace_path[0].__setitem__(0, 12345), "trace"),
+        (lambda p: p.fri.query_rounds[1].quotient_path[-1].__setitem__(1, 7), "quotient"),
+        (lambda p: p.fri.query_rounds[0].steps[0].path[0].__setitem__(2, 99), "fri-layer"),
+    ]:
+        bad = copy.deepcopy(proof)
+        mutate(bad)
+        with pytest.raises(VerificationError):
+            verify(air, bad, pis, config)
+
+
+def test_tampered_opened_row_rejected(fib_setup):
+    import copy
+
+    air, trace, pis, config, proof = fib_setup
+    bad = copy.deepcopy(proof)
+    bad.fri.query_rounds[0].trace_row[0] ^= 1
+    with pytest.raises(VerificationError):
+        verify(air, bad, pis, config)
+
+
 def test_quotient_degree_factor(fib_setup):
     air = fib_setup[0]
     assert air.quotient_degree_factor() == 1
