@@ -81,7 +81,7 @@ def test_tamper_cases(mini_air, mini_case):
 def test_mini_prove_verify(mini_air, mini_case):
     trace, pis = mini_case
     config = StarkConfig(rate_bits=1, pow_bits=8, num_queries=28)
-    proof = prove(mini_air, trace, pis, config)
+    proof = prove(mini_air, trace, pis, config, xp=np)
     verify(mini_air, proof, pis, config)
     bad = list(pis)
     bad[mini_air.PI_HM + 3] = (bad[mini_air.PI_HM + 3] + 1) % (1 << 32)

@@ -3,6 +3,8 @@ collective DEEP + row-sharded halo-exchange quotient) on the 8-device
 virtual CPU mesh, bit-exact against the single-chip prover."""
 
 import jax
+import os
+
 import numpy as np
 import pytest
 
@@ -10,6 +12,7 @@ from starky_bls12_381_tpu.fields import goldilocks as gl
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="driver gate runs the dryrun; RUN_SLOW here")
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
