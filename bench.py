@@ -248,8 +248,10 @@ def _run_one(which: str, start: float, budget: float):
     try:
         if time.time() - start < budget:
             t0 = time.time()
-            verify(air, proof, pis, config)
+            vt = {}
+            verify(air, proof, pis, config, timings=vt)
             extras["verify_s"] = round(time.time() - t0, 2)
+            extras["verify_stage_s"] = {k: round(v, 2) for k, v in vt.items()}
         if time.time() - start < budget:
             # fresh-statement prove: drop the uploaded-trace cache so this
             # pays the full host->device transfer (what a brand-new
