@@ -266,6 +266,18 @@ def permute(state):
         from . import poseidon_pallas as pp
 
         return pp.permute(state)
+    if (
+        xp is np
+        and state.ndim == 2
+        and state.shape[0] >= 256
+        and os.environ.get("STARKY_NATIVE", "1") == "1"
+    ):
+        # host bulk hashing: the native C kernel is ~20-50x the
+        # numpy-eager path and ~10x the XLA-CPU jitted path per core
+        from . import poseidon_native as pn
+
+        if pn.available():
+            return pn.permute_batch(state)
     asx = (lambda a: a) if xp is np else xp.asarray
     rc = asx(_RC_NP)
     state = _external_layer(state, xp)
@@ -436,8 +448,11 @@ def hash_flat_tree(arr) -> tuple:
     # jit-compile only for genuinely large inputs: each (fn, shape) pair
     # costs XLA-CPU compile time on a small host, and eager numpy wins
     # below ~1M elements (the test suite lives entirely down there —
-    # per-shape compiles were the bulk of its wall time, VERDICT r3 #8)
-    if a.size < 1 << 20:
+    # per-shape compiles were the bulk of its wall time, VERDICT r3 #8).
+    # With the native C kernel the eager path wins at every size.
+    from . import poseidon_native as pn
+
+    if a.size < 1 << 20 or pn.available():
         return tuple(int(x) for x in np.asarray(hash_flat_tree_arr(a)))
     a = a.reshape(-1)
     k = max(1, -(-a.size // RATE))
@@ -473,10 +488,16 @@ def _host_fast(fn, *arrays, key: str | None = None):
 
 
 def hash_rows_host_fast(rows: np.ndarray) -> np.ndarray:
-    """hash_rows for the host verifier via the jax-CPU jitted path:
+    """hash_rows for the host verifier. With the native C kernel built,
+    the eager numpy path (whose permutes dispatch to C) beats the
+    XLA-CPU jitted path ~10x AND pays no per-shape compile; otherwise:
     segment sponges as ONE scan program (small: one permutation in the
     scan body), then per-level fold programs — not the monolithic
     hash_rows trace whose unrolled fold tree compiles for minutes."""
+    from . import poseidon_native as pn
+
+    if pn.available():
+        return hash_rows(rows)
     if rows.size < 1 << 22:  # see hash_flat_tree: eager below ~4M elements
         return hash_rows(rows)
     n, c = rows.shape
