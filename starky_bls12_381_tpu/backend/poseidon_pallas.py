@@ -223,17 +223,13 @@ def _kernel(x_ref, o_ref):
     x = x_ref[:]  # (24, B_TILE) u32: rows 2i/2i+1 = lo/hi of lane i
     lanes = [(x[2 * i : 2 * i + 1, :], x[2 * i + 1 : 2 * i + 2, :]) for i in range(12)]
     rc = [
-        [
-            (
-                jnp.full((1, 1), c & _M32, dtype=jnp.uint32),
-                jnp.full((1, 1), c >> 32, dtype=jnp.uint32),
-            )
-            for c in row
-        ]
+        [(jnp.uint32(c & _M32), jnp.uint32(c >> 32)) for c in row]
         for row in ps.ROUND_CONSTANTS
     ]
     out = _permute_lanes(lanes, rc)
-    o_ref[:] = jnp.concatenate([p for lane in out for p in lane], axis=0)
+    for i, (lo, hi) in enumerate(out):
+        o_ref[2 * i : 2 * i + 1, :] = lo
+        o_ref[2 * i + 1 : 2 * i + 2, :] = hi
 
 
 @functools.lru_cache(maxsize=None)
@@ -242,18 +238,22 @@ def _permute_call(nblocks: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    grid = (nblocks,)
+    # GRIDLESS kernel mapped over (nblocks, 24, B_TILE) chunks: the axon
+    # remote-AOT Mosaic path rejects every grid/index_map formulation
+    # ("failed to legalize func.return") but compiles full-array
+    # gridless calls; lax.map over the chunk axis restores the batch.
     call = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((24, nblocks * B_TILE), np.uint32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((24, B_TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((24, B_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24, B_TILE), np.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )
-    return jax.jit(call)
+
+    def run(chunks):  # (nblocks, 24, B_TILE)
+        return jax.lax.map(call, chunks)
+
+    return jax.jit(run)
 
 
 def permute(states, interpret: bool = False):
@@ -268,11 +268,12 @@ def permute(states, interpret: bool = False):
     x = jnp.asarray(states, dtype=jnp.uint64)
     if npad != n:
         x = jnp.concatenate([x, jnp.zeros((npad - n, 12), dtype=jnp.uint64)], axis=0)
-    # (N, 12) u64 -> (24, N) u32 SoA: rows 2i (lo) / 2i+1 (hi)
+    # (N, 12) u64 -> (nblocks, 24, B_TILE) u32 SoA: rows 2i (lo) / 2i+1 (hi)
     lo = (x & jnp.uint64(_M32)).astype(jnp.uint32)
     hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
-    packed = jnp.stack([lo, hi], axis=2).reshape(npad, 24).T
-    out = _permute_call(nblocks, interpret)(packed)
-    out = out.T.reshape(npad, 12, 2)
+    packed = jnp.stack([lo, hi], axis=2).reshape(npad, 24).T  # (24, npad)
+    chunks = packed.reshape(24, nblocks, B_TILE).transpose(1, 0, 2)
+    out = _permute_call(nblocks, interpret)(chunks)  # (nblocks, 24, B_TILE)
+    out = out.transpose(1, 0, 2).reshape(24, npad).T.reshape(npad, 12, 2)
     res = out[:, :, 0].astype(jnp.uint64) | (out[:, :, 1].astype(jnp.uint64) << jnp.uint64(32))
     return res[:n]
