@@ -25,6 +25,7 @@ _SRC = os.path.join(_DIR, "poseidon2.c")
 
 _lib = None
 AVAILABLE = False
+_BUILD_FAILED = False  # a failed build is attempted at most once per process
 
 
 def _build() -> str | None:
@@ -54,15 +55,19 @@ def _build() -> str | None:
 
 
 def _load():
-    global _lib, AVAILABLE
+    global _lib, AVAILABLE, _BUILD_FAILED
     if _lib is not None or AVAILABLE:
         return _lib
+    if _BUILD_FAILED:
+        return None
     so = _build()
     if so is None:
+        _BUILD_FAILED = True
         return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
+        _BUILD_FAILED = True
         return None
     lib.permute_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint64),

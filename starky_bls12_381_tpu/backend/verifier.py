@@ -173,6 +173,25 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
 
     w_n0 = gl.primitive_root_of_unity(n0.bit_length() - 1)
 
+    # ---- structural validation (fail-closed with VerificationError,
+    # not IndexError: the batched path walk below relies on every query
+    # round having exactly num_folds steps and equal-length paths) ------
+    _req(len(proof.fri.query_rounds) == config.num_queries, "bad query round count")
+    cap_h = config.cap_height
+    for qi, qr in enumerate(proof.fri.query_rounds):
+        _req(len(qr.steps) == num_folds, f"bad FRI step count (query {qi})")
+        _req(np.asarray(qr.trace_row).shape == (num_cols,), f"bad trace row shape (query {qi})")
+        _req(np.asarray(qr.quotient_row).shape == (nq,), f"bad quotient row shape (query {qi})")
+        _req(len(qr.trace_path) == n0.bit_length() - 1 - cap_h,
+             f"bad trace path length (query {qi})")
+        _req(len(qr.quotient_path) == n0.bit_length() - 1 - cap_h,
+             f"bad quotient path length (query {qi})")
+        for l, st in enumerate(qr.steps):
+            _req(np.asarray(st.pair).shape == (2, 2), f"bad FRI pair shape (query {qi}, layer {l})")
+            half = (n0 >> l) // 2
+            _req(len(st.path) == half.bit_length() - 1 - cap_h,
+                 f"bad FRI path length (query {qi}, layer {l})")
+
     # batch-hash all opened rows (numpy-vectorized Poseidon)
     trace_rows = np.stack([qr.trace_row for qr in proof.fri.query_rounds]).astype(np.uint64)
     q_rows = np.stack([qr.quotient_row for qr in proof.fri.query_rounds]).astype(np.uint64)

@@ -140,8 +140,15 @@ class G1DoubleGadget:
 
     Complete for every affine point of G1: y1 = 0 would be a 2-torsion
     point, and |E(Fp)| = h*r is odd for BLS12-381, so no such point
-    exists. Ports: x1/y1 (wire at r0+11); outputs x3/y3 (range-checked
-    witnesses at r0+11)."""
+    exists. SOUNDNESS ASSUMPTION: identity 1 uniquely determines x3 only
+    when y1 != 0, and the no-2-torsion argument covers ON-CURVE points
+    only — an off-curve input with y1 = 0 (e.g. (0,0)) would leave x3/y3
+    unconstrained. The aggregation air does not constrain its inputs
+    on-curve; like the reference (aggregate_proof.rs pk_point_check),
+    soundness relies on the companion PkPointCheck STARK proving every
+    pubkey on-curve, with the ECC stark's point PIs bound to the same
+    statement bytes (aggregate.check_aggregate_links). Ports: x1/y1
+    (wire at r0+11); outputs x3/y3 (range-checked witnesses at r0+11)."""
 
     def __init__(self, cb: ChipBuilder, row0s):
         self.cb = cb

@@ -7,6 +7,10 @@ Frobenius coefficient table entries) plus algebraic self-checks.
 
 from starky_bls12_381_tpu.fields import bls12_381 as bls
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 # test data from native.rs:1480-1498 (public test vectors)
 PK = (
     2620359726099670991095913421423408052907220385587653382880494211997835858894431070728023161812841650498384724513574,

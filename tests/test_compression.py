@@ -3,6 +3,8 @@ signature_point_check parity, g1_plonky2.rs:59-117, g2_plonky2.rs:484+)."""
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.fields import bls12_381 as bls
 from starky_bls12_381_tpu.fields import compression as cz
 from starky_bls12_381_tpu.fields import hash_to_curve as h2c

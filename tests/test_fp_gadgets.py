@@ -10,6 +10,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.backend.air import Air
 from starky_bls12_381_tpu.chips import limbs
 from starky_bls12_381_tpu.chips.core import ChipBuilder

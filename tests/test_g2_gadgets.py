@@ -6,6 +6,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.chips import limbs
 from starky_bls12_381_tpu.chips.g2 import (
     Fp2NegCanonGadget,

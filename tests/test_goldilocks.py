@@ -3,6 +3,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.fields import goldilocks as gl
 
 

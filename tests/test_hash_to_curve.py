@@ -3,6 +3,10 @@
 from starky_bls12_381_tpu.fields import bls12_381 as bls
 from starky_bls12_381_tpu.fields import hash_to_curve as h2c
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _g1_mul(p, k):
     acc, add = None, p

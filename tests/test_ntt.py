@@ -3,6 +3,10 @@ import numpy as np
 from starky_bls12_381_tpu.backend import ntt
 from starky_bls12_381_tpu.fields import goldilocks as gl
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _eval_poly(coeffs, x):
     acc = 0

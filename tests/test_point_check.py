@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.backend.config import StarkConfig
 from starky_bls12_381_tpu.backend.prover import prove
 from starky_bls12_381_tpu.backend.verifier import VerificationError, verify

@@ -3,6 +3,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.backend import poseidon as ps
 from starky_bls12_381_tpu.fields.goldilocks import P
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.backend.config import StarkConfig
 from starky_bls12_381_tpu.backend.proof import proof_from_bytes, proof_to_bytes
 from starky_bls12_381_tpu.backend.prover import prove

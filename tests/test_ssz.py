@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.fields import ssz
 
 FIX_1052 = "/root/reference/src/light_client_update_period_1052.json"

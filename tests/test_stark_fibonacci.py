@@ -8,6 +8,8 @@ build a real trace, prove, verify) plus tamper tests the reference lacks
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from starky_bls12_381_tpu.backend import air as air_mod
 from starky_bls12_381_tpu.backend.config import StarkConfig
 from starky_bls12_381_tpu.backend.prover import prove
