@@ -335,7 +335,9 @@ class Ctx:
     def __init__(self, alg, acc):
         """`acc` provides gather access to the trace/constants/PIs: methods
         local/next/const/const_next taking a column index array of any shape
-        (returning data of shape idx.shape + (domain,)), and pi likewise."""
+        (returning data of shape idx.shape + (domain,)), and pi likewise.
+        Two-phase airs additionally read phase-2 columns via local2/next2
+        and the round-1 verifier challenges via challenge(i)."""
         self.alg = alg
         self.acc = acc
         self.constraints: list[tuple[Any, Any, int]] = []
@@ -359,6 +361,25 @@ class Ctx:
 
     def pi(self, idx: int, width: int | None = None) -> V:
         return V(self.alg, self.acc.pi(self._cols(idx, width)), 0)
+
+    # -- phase-2 (second commitment round) access -----------------------
+    def local2(self, col: int, width: int | None = None) -> V:
+        return V(self.alg, self.acc.local2(self._cols(col, width)), 1)
+
+    def next2(self, col: int, width: int | None = None) -> V:
+        return V(self.alg, self.acc.next2(self._cols(col, width)), 1)
+
+    def local2_g(self, cols) -> V:
+        return V(self.alg, self.acc.local2(np.asarray(cols)), 1)
+
+    def next2_g(self, cols) -> V:
+        return V(self.alg, self.acc.next2(np.asarray(cols)), 1)
+
+    def challenge(self, i: int) -> V:
+        """The i-th round-1 challenge (drawn after the phase-1 commitment,
+        before phase 2 is committed). Degree-0; a traced scalar on the
+        prover so challenge values never bake into compiled programs."""
+        return V(self.alg, self.acc.challenge(i), 0)
 
     # -- gathered (instance-batched) access -----------------------------
     def local_g(self, cols) -> V:
@@ -444,19 +465,25 @@ class VectorAccessors:
     (LDE index i+blowup is the next trace row), which avoids materializing
     a rolled copy of the full multi-GB LDE."""
 
-    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr, next_roll=None, halo=None):
+    def __init__(self, xp, local_mat, next_mat, const_mat, const_next_mat, pis_arr, next_roll=None, halo=None,
+                 local2_mat=None, chals_arr=None):
         """`halo=(L, b)`: matrices carry L+b rows (a row segment plus its
         b-row halo); local access slices [:L], next access [b:b+L]. Used by
         the row-segmented quotient evaluation (bounds peak memory for wide
-        tall LDEs). Mutually exclusive with full-domain `next_roll`."""
+        tall LDEs). Mutually exclusive with full-domain `next_roll`.
+        `local2_mat`: phase-2 LDE (domain, C2); next2 follows the same
+        roll/halo convention. `chals_arr`: (k,) round-1 challenges."""
         self.xp = xp
         self._mats = {
             "local": local_mat,
             "next": next_mat,
             "const": const_mat,
             "const_next": const_next_mat,
+            "local2": local2_mat,
+            "next2": None,
         }
         self.pis = pis_arr
+        self.chals = chals_arr
         self.next_roll = next_roll
         self.halo = halo
 
@@ -464,7 +491,7 @@ class VectorAccessors:
         mat = self._mats[name]
         is_next = False
         if mat is None:
-            mat = self._mats["local" if name == "next" else "const"]
+            mat = self._mats[{"next": "local", "next2": "local2", "const_next": "const"}[name]]
             is_next = True
         cols = np.asarray(cols)
         scalar = cols.ndim == 0
@@ -495,6 +522,15 @@ class VectorAccessors:
     def const_next(self, cols):
         return self._gather("const_next", cols)
 
+    def local2(self, cols):
+        return self._gather("local2", cols)
+
+    def next2(self, cols):
+        return self._gather("next2", cols)
+
+    def challenge(self, i: int):
+        return self.chals[int(i)]
+
     def pi(self, idxs):
         idxs = np.asarray(idxs)
         if idxs.ndim == 0:
@@ -505,14 +541,18 @@ class VectorAccessors:
 class ScalarAccessors:
     """Verifier-style: per-column GF(p^2) values, shape (C, 2) object."""
 
-    def __init__(self, local_vals, next_vals, const_vals, const_next_vals, pis):
+    def __init__(self, local_vals, next_vals, const_vals, const_next_vals, pis,
+                 local2_vals=None, next2_vals=None, chals=None):
         self._mats = {
             "local": local_vals,
             "next": next_vals,
             "const": const_vals,
             "const_next": const_next_vals,
+            "local2": local2_vals,
+            "next2": next2_vals,
         }
         self.pis = [int(x) for x in pis]
+        self.chals = chals
 
     def _gather(self, name, cols):
         mat = self._mats[name]
@@ -533,6 +573,15 @@ class ScalarAccessors:
     def const_next(self, cols):
         return self._gather("const_next", cols)
 
+    def local2(self, cols):
+        return self._gather("local2", cols)
+
+    def next2(self, cols):
+        return self._gather("next2", cols)
+
+    def challenge(self, i: int):
+        return np.array([int(self.chals[int(i)]), 0], dtype=object)
+
     def pi(self, idxs):
         idxs = np.asarray(idxs)
         if idxs.ndim == 0:
@@ -546,6 +595,9 @@ class ScalarAccessors:
 class ExtVectorAccessors(ScalarAccessors):
     """ScalarAccessors over uint64 (C, 2) matrices (for ExtVectorAlgebra):
     public inputs are lifted to uint64 ext pairs instead of object."""
+
+    def challenge(self, i: int):
+        return np.array([int(self.chals[int(i)]) % gl.P, 0], dtype=np.uint64)
 
     def pi(self, idxs):
         idxs = np.asarray(idxs)
@@ -562,8 +614,12 @@ class DegreeAccessors:
         return 1
 
     next = const = const_next = local
+    local2 = next2 = local
 
     def pi(self, idxs):
+        return 0
+
+    def challenge(self, i):
         return 0
 
 
@@ -584,6 +640,10 @@ class Air:
     num_cols: int
     num_rows: int
     num_pis: int = 0
+    # two-phase airs (permutation/copy arguments): phase-2 witness columns
+    # committed AFTER the round-1 challenges are drawn from the phase-1 cap
+    num_cols2: int = 0
+    num_phase_challenges: int = 0
 
     def eval(self, ctx: Ctx) -> None:
         raise NotImplementedError
@@ -591,6 +651,11 @@ class Air:
     def constant_columns(self):
         """(num_rows, K) uint64 array of public fixed columns, or None."""
         return None
+
+    def generate_trace2(self, trace: np.ndarray, challenges):
+        """(num_rows, num_cols2) phase-2 witness from the phase-1 trace and
+        the round-1 challenges. Required when num_cols2 > 0."""
+        raise NotImplementedError
 
     # -- static analysis ------------------------------------------------
     def _degree_ctx(self) -> Ctx:

@@ -30,6 +30,9 @@ class FriQueryRound:
     quotient_row: np.ndarray  # (Q,) uint64
     quotient_path: List[np.ndarray]
     steps: List[FriStep]
+    # phase-2 commitment (permutation-argument columns); None single-phase
+    trace2_row: np.ndarray | None = None  # (C2,) uint64
+    trace2_path: List[np.ndarray] | None = None
 
 
 @dataclass
@@ -48,6 +51,10 @@ class StarkProof:
     trace_next: np.ndarray  # (C, 2) — openings at g*zeta
     quotient_open: np.ndarray  # (num_challenges * factor, 2) at zeta
     fri: FriProof
+    # phase-2 commitment (two-phase airs); None for single-phase proofs
+    trace2_cap: np.ndarray | None = None
+    trace2_local: np.ndarray | None = None  # (C2, 2)
+    trace2_next: np.ndarray | None = None  # (C2, 2)
 
     def size_bytes(self) -> int:
         total = 0
@@ -105,11 +112,19 @@ class _Reader:
 
 
 def proof_to_bytes(p: StarkProof) -> bytes:
-    out: list = [_MAGIC, _VERSION.to_bytes(4, "little")]
+    # single-phase proofs keep the exact version-1 byte stream; a phase-2
+    # commitment bumps the version and appends its fields in-place
+    two_phase = p.trace2_cap is not None
+    out: list = [_MAGIC, (2 if two_phase else _VERSION).to_bytes(4, "little")]
     _w_arr(out, p.trace_cap)
+    if two_phase:
+        _w_arr(out, p.trace2_cap)
     _w_arr(out, p.quotient_cap)
     _w_arr(out, p.trace_local)
     _w_arr(out, p.trace_next)
+    if two_phase:
+        _w_arr(out, p.trace2_local)
+        _w_arr(out, p.trace2_next)
     _w_arr(out, p.quotient_open)
     f = p.fri
     out.append(np.uint64(len(f.layer_caps)).tobytes())
@@ -124,6 +139,11 @@ def proof_to_bytes(p: StarkProof) -> bytes:
         out.append(np.uint64(len(q.trace_path)).tobytes())
         for d in q.trace_path:
             _w_arr(out, d)
+        if two_phase:
+            _w_arr(out, q.trace2_row)
+            out.append(np.uint64(len(q.trace2_path)).tobytes())
+            for d in q.trace2_path:
+                _w_arr(out, d)
         _w_arr(out, q.quotient_row)
         out.append(np.uint64(len(q.quotient_path)).tobytes())
         for d in q.quotient_path:
@@ -140,12 +160,16 @@ def proof_to_bytes(p: StarkProof) -> bytes:
 def proof_from_bytes(data: bytes) -> StarkProof:
     assert data[:4] == _MAGIC, "bad proof magic"
     version = int.from_bytes(data[4:8], "little")
-    assert version == _VERSION, f"unsupported proof version {version}"
+    assert version in (_VERSION, 2), f"unsupported proof version {version}"
+    two_phase = version == 2
     r = _Reader(data, 8)
     trace_cap = r.arr()
+    trace2_cap = r.arr() if two_phase else None
     quotient_cap = r.arr()
     trace_local = r.arr()
     trace_next = r.arr()
+    trace2_local = r.arr() if two_phase else None
+    trace2_next = r.arr() if two_phase else None
     quotient_open = r.arr()
     layer_caps = [r.arr() for _ in range(r.u64())]
     final_coeffs = r.arr()
@@ -155,6 +179,10 @@ def proof_from_bytes(data: bytes) -> StarkProof:
         index = r.u64()
         trace_row = r.arr()
         trace_path = [r.arr() for _ in range(r.u64())]
+        trace2_row = trace2_path = None
+        if two_phase:
+            trace2_row = r.arr()
+            trace2_path = [r.arr() for _ in range(r.u64())]
         quotient_row = r.arr()
         quotient_path = [r.arr() for _ in range(r.u64())]
         steps = []
@@ -170,6 +198,8 @@ def proof_from_bytes(data: bytes) -> StarkProof:
                 quotient_row=quotient_row,
                 quotient_path=quotient_path,
                 steps=steps,
+                trace2_row=trace2_row,
+                trace2_path=trace2_path,
             )
         )
     assert r.off == len(data), "trailing bytes in proof"
@@ -185,4 +215,7 @@ def proof_from_bytes(data: bytes) -> StarkProof:
             pow_nonce=pow_nonce,
             query_rounds=rounds,
         ),
+        trace2_cap=trace2_cap,
+        trace2_local=trace2_local,
+        trace2_next=trace2_next,
     )

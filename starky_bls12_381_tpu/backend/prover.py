@@ -221,6 +221,7 @@ class StarkProver:
         self.num_chunks = -(-self.segments // self.w_seg)
         if mesh is not None:
             assert xp is not np, "mesh mode needs the jax backend"
+            assert air.num_cols2 == 0, "two-phase airs: mesh mode not yet supported"
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -574,7 +575,33 @@ class StarkProver:
             outs.append(gl.gl_mul(acc, zh_inv))
         return xp.stack(outs, axis=1)
 
-    def _quotient(self, lde_chunks, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde):
+    def _commit_trace2(self, trace2: np.ndarray):
+        """Phase-2 commitment: the permutation-argument columns are few, so
+        one non-chunked IFFT + LDE + leaf-hash program suffices."""
+
+        def f(tr):
+            coeffs = ntt.interpolate(tr)
+            lde2 = ntt.coset_evaluate(coeffs, self.n0, SHIFT)
+            return lde2, self._hash_rows(lde2)
+
+        lde2, leaves = self._stage("commit_trace2", f)(
+            self._dev(np.ascontiguousarray(trace2, dtype=np.uint64))
+        )
+        return lde2, self._merkle_levels(leaves, self.config.cap_height)
+
+    def _open_mat(self, mat, weights, count: int) -> np.ndarray:
+        """Barycentric opening of every column of one (n0, K) matrix."""
+
+        def f(m, w):
+            c0 = gl.gl_sum(gl.gl_mul(m, w[:, 0][:, None]), axis=0)
+            c1 = gl.gl_sum(gl.gl_mul(m, w[:, 1][:, None]), axis=0)
+            return c0, c1
+
+        c0, c1 = self._stage("open_mat", f)(mat, self._dev(weights))
+        return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)[:count]
+
+    def _quotient(self, lde_chunks, alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde,
+                  lde2=None, chals=None):
         xp = self.xp
         nseg = 1
         # under a mesh the LDE rows are sharded, so the one-shot working
@@ -584,6 +611,22 @@ class StarkProver:
             nseg *= 2
 
         if nseg == 1:
+            if lde2 is not None:
+                def f2(chunks, alphas, pis_a, filters_a, zh_inv, c_lde, l2, ch2):
+                    alg = BaseVectorAlgebra(xp)
+                    local = ChunkedColumns(xp, _chunk_list(chunks))
+                    acc_ = VectorAccessors(
+                        xp, local, None, c_lde, None, pis_a, next_roll=self.blowup,
+                        local2_mat=l2, chals_arr=ch2,
+                    )
+                    ctx = Ctx(alg, acc_)
+                    self.air.eval(ctx)
+                    return self._combine(ctx, alg, alphas, filters_a, zh_inv, self.n0)
+
+                return self._stage("quotient2", f2)(
+                    tuple(lde_chunks), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde, lde2, chals
+                )
+
             def f(chunks, alphas, pis_a, filters_a, zh_inv, c_lde):
                 alg = BaseVectorAlgebra(xp)
                 local = ChunkedColumns(xp, _chunk_list(chunks))
@@ -606,7 +649,7 @@ class StarkProver:
         b = self.blowup
 
         def make_fseg(last: bool):
-            def fseg(chunks, off, alphas, pis_a, filters_a, zh_inv, c_lde):
+            def fseg(chunks, off, alphas, pis_a, filters_a, zh_inv, c_lde, l2=None, ch2=None):
                 if xp is np:
                     o = int(off)
                     rows = lambda a, sz: a[o : o + sz]  # noqa: E731
@@ -632,19 +675,24 @@ class StarkProver:
                 zh_s = rows(zh_inv, L)
                 alg = BaseVectorAlgebra(xp)
                 local = ChunkedColumns(xp, list(blocks))
-                acc_ = VectorAccessors(xp, local, None, cblk, None, pis_a, halo=(L, b))
+                acc_ = VectorAccessors(
+                    xp, local, None, cblk, None, pis_a, halo=(L, b),
+                    local2_mat=None if l2 is None else block(l2), chals_arr=ch2,
+                )
                 ctx = Ctx(alg, acc_)
                 self.air.eval(ctx)
                 return self._combine(ctx, alg, alphas, filt_s, zh_s, L)
 
             return fseg
 
-        mid = self._stage("quotient_seg", make_fseg(False))
-        lastf = self._stage("quotient_seg_last", make_fseg(True))
+        key2 = "2" if lde2 is not None else ""
+        mid = self._stage(f"quotient_seg{key2}", make_fseg(False))
+        lastf = self._stage(f"quotient_seg_last{key2}", make_fseg(True))
         args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
+        extra = (lde2, chals) if lde2 is not None else ()
         parts = [
             (lastf if s == nseg - 1 else mid)(
-                args, np.int64(s * L), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde
+                args, np.int64(s * L), alphas_arr, pis_arr, filters_dev, zh_inv_dev, const_lde, *extra
             )
             for s in range(nseg)
         ]
@@ -699,13 +747,15 @@ class StarkProver:
         c0, c1 = self._stage("open_lde", f)(args, self._dev(weights))
         return np.stack([np.asarray(c0), np.asarray(c1)], axis=1)[: self.num_cols]
 
-    def _deep(self, lde_chunks, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev):
+    def _deep(self, lde_chunks, q_lde, w1, w2, r1z, r2z, zeta, zeta_g, pts_dev, lde2=None):
         """DEEP composition accumulated chunk-by-chunk; w1 covers the
-        padded trace columns then the quotient columns, w2 the padded
-        trace columns (pad weights hit all-zero pad LDE columns)."""
+        padded trace columns, then (two-phase) the phase-2 columns, then
+        the quotient columns; w2 the padded trace (+ phase-2) columns
+        (pad weights hit all-zero pad LDE columns)."""
         xp = self.xp
+        C2 = self.air.num_cols2 if lde2 is not None else 0
 
-        def f(chunks, ql, w1t, w1q, w2t, scalars, pts_a):
+        def f(chunks, ql, w1t, w1q, w2t, scalars, pts_a, l2=None, w1s=None, w2s=None):
             chunks = _chunk_list(chunks)
             r1z0, r1z1, r2z0, r2z1, z0, z1, zg0, zg1 = [scalars[i] for i in range(8)]
             W = chunks[0].shape[1]
@@ -717,6 +767,11 @@ class StarkProver:
                 r1_1 = gl.gl_add(r1_1, gl.gl_sum(gl.gl_mul(ch, wa[:, 1][None, :]), axis=1))
                 r2_0 = gl.gl_add(r2_0, gl.gl_sum(gl.gl_mul(ch, wb[:, 0][None, :]), axis=1))
                 r2_1 = gl.gl_add(r2_1, gl.gl_sum(gl.gl_mul(ch, wb[:, 1][None, :]), axis=1))
+            if l2 is not None:
+                r1_0 = gl.gl_add(r1_0, gl.gl_sum(gl.gl_mul(l2, w1s[:, 0][None, :]), axis=1))
+                r1_1 = gl.gl_add(r1_1, gl.gl_sum(gl.gl_mul(l2, w1s[:, 1][None, :]), axis=1))
+                r2_0 = gl.gl_add(r2_0, gl.gl_sum(gl.gl_mul(l2, w2s[:, 0][None, :]), axis=1))
+                r2_1 = gl.gl_add(r2_1, gl.gl_sum(gl.gl_mul(l2, w2s[:, 1][None, :]), axis=1))
             r1_0 = gl.gl_add(r1_0, gl.gl_sum(gl.gl_mul(ql, w1q[:, 0][None, :]), axis=1))
             r1_1 = gl.gl_add(r1_1, gl.gl_sum(gl.gl_mul(ql, w1q[:, 1][None, :]), axis=1))
             num1 = (gl.gl_sub(r1_0, r1z0), gl.gl_sub(r1_1, r1z1))
@@ -731,14 +786,21 @@ class StarkProver:
         padded = self.chunk_width * self.num_chunks
         w1t = np.zeros((padded, 2), dtype=np.uint64)
         w1t[: self.num_cols] = w1[: self.num_cols]
-        w1q = np.ascontiguousarray(w1[self.num_cols :])
+        w1s = np.ascontiguousarray(w1[self.num_cols : self.num_cols + C2])
+        w1q = np.ascontiguousarray(w1[self.num_cols + C2 :])
         w2t = np.zeros((padded, 2), dtype=np.uint64)
-        w2t[: self.num_cols] = w2
+        w2t[: self.num_cols] = w2[: self.num_cols]
+        w2s = np.ascontiguousarray(w2[self.num_cols :])
         scalars = np.asarray(
             [r1z[0], r1z[1], r2z[0], r2z[1], zeta[0], zeta[1], zeta_g[0], zeta_g[1]],
             dtype=np.uint64,
         )
         args = lde_chunks if self.mesh is not None else tuple(lde_chunks)
+        if lde2 is not None:
+            return self._stage("deep2", f)(
+                args, q_lde, self._dev(w1t), self._dev(w1q), self._dev(w2t),
+                self._dev(scalars), pts_dev, lde2, self._dev(w1s), self._dev(w2s)
+            )
         return self._stage("deep", f)(
             args, q_lde, self._dev(w1t), self._dev(w1q), self._dev(w2t), self._dev(scalars), pts_dev
         )
@@ -862,11 +924,29 @@ class StarkProver:
         ch = Challenger()
         ch.observe_array(np.asarray(pis, dtype=np.uint64))
         ch.observe_cap(trace_cap)
+
+        # 1b. phase-2 commitment (two-phase airs): round-1 challenges from
+        # the phase-1 cap, then commit the challenge-dependent columns
+        lde2 = None
+        layers2_np = None
+        phase_chals: list = []
+        if self.air.num_cols2:
+            assert isinstance(trace, np.ndarray), "two-phase airs need a host trace"
+            phase_chals = ch.get_challenges(self.air.num_phase_challenges)
+            trace2 = self.air.generate_trace2(trace, phase_chals)
+            assert trace2.shape == (n, self.air.num_cols2)
+            lde2, layers2 = self._commit_trace2(trace2)
+            layers2_np = [np.asarray(l) for l in layers2]
+            ch.observe_cap(layers2_np[-1])
+            mark("commit_trace2")
         alphas = ch.get_challenges(config.num_challenges)
 
         # 2. quotient
         pis_arr = self._dev(np.asarray(pis, dtype=np.uint64)) if pis else self._dev(
             np.zeros(1, dtype=np.uint64)
+        )
+        chals_arr = (
+            self._dev(np.asarray(phase_chals, dtype=np.uint64)) if phase_chals else None
         )
         qv = self._quotient(
             lde_chunks,
@@ -875,6 +955,8 @@ class StarkProver:
             self._dev(self.filters_np),
             self._dev(self.zh_inv_np),
             self._dev(self.const_lde_np),
+            lde2=lde2,
+            chals=chals_arr,
         )
         q_chunk_coeffs, q_lde, q_layers = self._commit_quotient(qv)
         q_layers_np = [np.asarray(l) for l in q_layers]
@@ -891,20 +973,36 @@ class StarkProver:
         trace_local = self._open_lde(lde_chunks, w_z)
         trace_next = self._open_lde(lde_chunks, w_zg)
         quotient_open = self._open_at(q_chunk_coeffs, ext_powers(zeta, n))
-        self._observe_array_dev(ch, np.concatenate([trace_local, trace_next, quotient_open], axis=0))
+        C2 = self.air.num_cols2 if lde2 is not None else 0
+        trace2_local = trace2_next = None
+        if lde2 is not None:
+            trace2_local = self._open_mat(lde2, w_z, C2)
+            trace2_next = self._open_mat(lde2, w_zg, C2)
+            obs = np.concatenate(
+                [trace_local, trace_next, trace2_local, trace2_next, quotient_open], axis=0
+            )
+        else:
+            obs = np.concatenate([trace_local, trace_next, quotient_open], axis=0)
+        self._observe_array_dev(ch, obs)
 
         gamma = ch.get_ext_challenge()
         mark("openings")
 
         # 4. DEEP composition
         nq = quotient_open.shape[0]
-        j1, j2 = num_cols + nq, num_cols
+        j1, j2 = num_cols + C2 + nq, num_cols + C2
         weights = ext_powers(gamma, j1 + j2)
-        open1 = np.concatenate([trace_local, quotient_open], axis=0)
+        if lde2 is not None:
+            open1 = np.concatenate([trace_local, trace2_local, quotient_open], axis=0)
+            open2 = np.concatenate([trace_next, trace2_next], axis=0)
+        else:
+            open1 = np.concatenate([trace_local, quotient_open], axis=0)
+            open2 = trace_next
         r1_zeta = ext_dot_ext(weights[:j1], open1.astype(np.uint64))
-        r2_zetag = ext_dot_ext(weights[j1:], trace_next.astype(np.uint64))
+        r2_zetag = ext_dot_ext(weights[j1:], open2.astype(np.uint64))
         values = self._deep(
-            lde_chunks, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g, self._dev(self.pts_np)
+            lde_chunks, q_lde, weights[:j1], weights[j1:], r1_zeta, r2_zetag, zeta, zeta_g,
+            self._dev(self.pts_np), lde2=lde2,
         )
 
         mark("deep")
@@ -950,6 +1048,7 @@ class StarkProver:
             row_parts = [self._fetch(chk[idx_dev]) for chk in lde_chunks]
             trace_rows = np.concatenate(row_parts, axis=1)[:, :num_cols] if len(row_parts) > 1 else row_parts[0][:, :num_cols]
         q_rows = self._fetch(q_lde[idx_dev])
+        t2_rows = self._fetch(lde2[idx_dev]) if lde2 is not None else None
 
         query_rounds = []
         for qi, index in enumerate(indices):
@@ -974,6 +1073,8 @@ class StarkProver:
                     quotient_row=q_rows[qi],
                     quotient_path=merkle.prove_path(q_layers_np, index),
                     steps=steps,
+                    trace2_row=None if t2_rows is None else t2_rows[qi],
+                    trace2_path=None if t2_rows is None else merkle.prove_path(layers2_np, index),
                 )
             )
 
@@ -990,6 +1091,9 @@ class StarkProver:
                 pow_nonce=nonce,
                 query_rounds=query_rounds,
             ),
+            trace2_cap=None if layers2_np is None else layers2_np[-1],
+            trace2_local=trace2_local,
+            trace2_next=trace2_next,
         )
 
 

@@ -56,13 +56,23 @@ def derive_challenges(air, proof: StarkProof, pis, config: StarkConfig) -> dict:
     ch = Challenger()
     ch.observe_array(np.asarray([int(x) % gl.P for x in pis], dtype=np.uint64))
     ch.observe_cap(proof.trace_cap)
+    phase_chals: list = []
+    if getattr(air, "num_cols2", 0):
+        _req(proof.trace2_cap is not None, "missing phase-2 commitment")
+        phase_chals = ch.get_challenges(air.num_phase_challenges)
+        ch.observe_cap(proof.trace2_cap)
     alphas = ch.get_challenges(config.num_challenges)
     ch.observe_cap(proof.quotient_cap)
     zeta = ch.get_ext_challenge()
     g = gl.primitive_root_of_unity(n.bit_length() - 1)
-    ch.observe_array(
-        np.concatenate([proof.trace_local, proof.trace_next, proof.quotient_open], axis=0)
-    )
+    if getattr(air, "num_cols2", 0):
+        ch.observe_array(np.concatenate(
+            [proof.trace_local, proof.trace_next, proof.trace2_local, proof.trace2_next,
+             proof.quotient_open], axis=0))
+    else:
+        ch.observe_array(
+            np.concatenate([proof.trace_local, proof.trace_next, proof.quotient_open], axis=0)
+        )
     gamma = ch.get_ext_challenge()
     betas = []
     for cap in proof.fri.layer_caps:
@@ -80,10 +90,12 @@ def derive_challenges(air, proof: StarkProof, pis, config: StarkConfig) -> dict:
         "betas": betas,
         "pow_challenge": pow_challenge,
         "indices": indices,
+        "phase_challenges": phase_chals,
     }
 
 
-def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, alphas, zeta) -> None:
+def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, alphas, zeta,
+                            phase_chals=None) -> None:
     """The quotient identity at zeta: re-runs air.eval through the
     ext-scalar algebra against the opened values. Raises on mismatch."""
     n = air.num_rows
@@ -99,7 +111,13 @@ def check_quotient_identity(air, proof: StarkProof, pis, config: StarkConfig, al
         c_zeta_g = _eval_cols_at(c_coeffs, zeta_g)
     else:
         c_zeta = c_zeta_g = np.zeros((1, 2), dtype=np.uint64)
-    ctx = Ctx(alg, ExtVectorAccessors(t_local, t_next, c_zeta, c_zeta_g, [int(x) % gl.P for x in pis]))
+    t2l = t2n = None
+    if getattr(air, "num_cols2", 0):
+        t2l = np.asarray(proof.trace2_local, dtype=np.uint64)
+        t2n = np.asarray(proof.trace2_next, dtype=np.uint64)
+    ctx = Ctx(alg, ExtVectorAccessors(
+        t_local, t_next, c_zeta, c_zeta_g, [int(x) % gl.P for x in pis],
+        local2_vals=t2l, next2_vals=t2n, chals=phase_chals))
     air.eval(ctx)
     zh_zeta = gl.ext_sub(gl.ext_pow(zeta, n), gl.EXT_ONE)
     filt_cache = {}
@@ -144,6 +162,14 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     nq = config.num_challenges * factor
     _req(proof.quotient_open.shape[0] == nq, "bad quotient opening count")
     _req(proof.trace_local.shape[0] == num_cols, "bad trace opening count")
+    C2 = getattr(air, "num_cols2", 0)
+    if C2:
+        _req(proof.trace2_cap is not None and proof.trace2_local is not None
+             and proof.trace2_next is not None, "missing phase-2 fields")
+        _req(proof.trace2_local.shape[0] == C2 and proof.trace2_next.shape[0] == C2,
+             "bad phase-2 opening count")
+    else:
+        _req(proof.trace2_cap is None, "unexpected phase-2 commitment")
 
     # ---- transcript --------------------------------------------------
     num_folds = config.fri_num_folds(n0)
@@ -158,18 +184,25 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     _mark("transcript")
 
     # ---- quotient identity at zeta ----------------------------------
-    check_quotient_identity(air, proof, pis, config, alphas, zeta)
+    check_quotient_identity(air, proof, pis, config, alphas, zeta,
+                            phase_chals=d["phase_challenges"])
     _mark("quotient_identity")
 
     # ---- DEEP / FRI queries -----------------------------------------
-    j1 = num_cols + nq
-    j2 = num_cols
+    j1 = num_cols + C2 + nq
+    j2 = num_cols + C2
     weights = ext_powers(gamma, j1 + j2)
-    open1 = np.concatenate([proof.trace_local, proof.quotient_open], axis=0)
+    if C2:
+        open1 = np.concatenate(
+            [proof.trace_local, proof.trace2_local, proof.quotient_open], axis=0)
+        open2 = np.concatenate([proof.trace_next, proof.trace2_next], axis=0)
+    else:
+        open1 = np.concatenate([proof.trace_local, proof.quotient_open], axis=0)
+        open2 = proof.trace_next
     # numpy-vectorized DEEP anchor sums (a python loop here is ~180k
     # scalar ext muls for the 89k-column stark)
     r1_zeta = ext_dot_ext(weights[:j1], open1.astype(np.uint64))
-    r2_zetag = ext_dot_ext(weights[j1:], proof.trace_next.astype(np.uint64))
+    r2_zetag = ext_dot_ext(weights[j1:], open2.astype(np.uint64))
 
     w_n0 = gl.primitive_root_of_unity(n0.bit_length() - 1)
 
@@ -186,6 +219,12 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
              f"bad trace path length (query {qi})")
         _req(len(qr.quotient_path) == n0.bit_length() - 1 - cap_h,
              f"bad quotient path length (query {qi})")
+        if C2:
+            _req(qr.trace2_row is not None and np.asarray(qr.trace2_row).shape == (C2,),
+                 f"bad phase-2 row shape (query {qi})")
+            _req(qr.trace2_path is not None
+                 and len(qr.trace2_path) == n0.bit_length() - 1 - cap_h,
+                 f"bad phase-2 path length (query {qi})")
         for l, st in enumerate(qr.steps):
             _req(np.asarray(st.pair).shape == (2, 2), f"bad FRI pair shape (query {qi}, layer {l})")
             half = (n0 >> l) // 2
@@ -197,6 +236,9 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     q_rows = np.stack([qr.quotient_row for qr in proof.fri.query_rounds]).astype(np.uint64)
     trace_leaf_digs = ps.hash_rows_host_fast(trace_rows)
     q_leaf_digs = ps.hash_rows_host_fast(q_rows)
+    if C2:
+        t2_rows = np.stack([qr.trace2_row for qr in proof.fri.query_rounds]).astype(np.uint64)
+        t2_leaf_digs = ps.hash_rows_host_fast(t2_rows)
     step_rows = []
     for qr in proof.fri.query_rounds:
         pos = qr.index
@@ -215,6 +257,10 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
     _verify_paths_batch(
         q_leaf_digs, indices, [qr.quotient_path for qr in qs], proof.quotient_cap, "quotient"
     )
+    if C2:
+        _verify_paths_batch(
+            t2_leaf_digs, indices, [qr.trace2_path for qr in qs], proof.trace2_cap, "phase-2"
+        )
     nsteps = num_folds
     for l in range(nsteps):
         half = (n0 >> l) // 2
@@ -232,9 +278,14 @@ def verify(air, proof: StarkProof, pis, config: StarkConfig, timings: dict | Non
         index = qr.index
         # DEEP value at x = SHIFT * w^index
         x = SHIFT * pow(w_n0, index, gl.P) % gl.P
-        vals1 = np.concatenate([qr.trace_row, qr.quotient_row]).astype(np.uint64)
+        if C2:
+            vals1 = np.concatenate([qr.trace_row, qr.trace2_row, qr.quotient_row]).astype(np.uint64)
+            vals2 = np.concatenate([qr.trace_row, qr.trace2_row]).astype(np.uint64)
+        else:
+            vals1 = np.concatenate([qr.trace_row, qr.quotient_row]).astype(np.uint64)
+            vals2 = qr.trace_row.astype(np.uint64)
         r1_x = _ext_dot_base(weights[:j1], vals1)
-        r2_x = _ext_dot_base(weights[j1:], qr.trace_row.astype(np.uint64))
+        r2_x = _ext_dot_base(weights[j1:], vals2)
         f1 = gl.ext_mul(gl.ext_sub(r1_x, r1_zeta), gl.ext_inv(gl.ext_sub((x, 0), zeta)))
         f2 = gl.ext_mul(gl.ext_sub(r2_x, r2_zetag), gl.ext_inv(gl.ext_sub((x, 0), zeta_g)))
         value = gl.ext_add(f1, f2)

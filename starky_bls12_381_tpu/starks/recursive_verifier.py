@@ -961,6 +961,9 @@ def strip_queries(proof: StarkProof) -> StarkProof:
             pow_nonce=proof.fri.pow_nonce,
             query_rounds=[],
         ),
+        trace2_cap=proof.trace2_cap,
+        trace2_local=proof.trace2_local,
+        trace2_next=proof.trace2_next,
     )
 
 
