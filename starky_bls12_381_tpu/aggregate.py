@@ -426,26 +426,33 @@ class CompressedBundle:
 
 def compress_bundle(pipeline: AggregatePipeline, bundle: AggregateBundle,
                     shard: int = 7, outer_config: StarkConfig | None = None,
-                    stages=None, xp=None) -> CompressedBundle:
+                    stages=None, xp=None, ext_op: bool = False) -> CompressedBundle:
     """Wrap every stage proof's query rounds in recursive outer proofs.
 
     Stages sharing an air (pp1/pp2, ml1/ml2) share one RecursiveVerifierAir
     and one compiled outer prover. `stages` restricts compression to a
-    subset (tests); `xp` selects the outer prover backend."""
+    subset (tests); `xp` selects the outer prover backend. `ext_op=True`
+    additionally proves each stage's quotient identity as an ExtOpAir
+    proof, so `verify_compressed_bundle` runs NO native stage `air.eval`."""
     from .starks.recursive_verifier import RecursiveVerifierAir, prove_recursive_dag
 
     ocfg = outer_config or OUTER_CONFIG
     todo = list(STAGES) if stages is None else list(stages)
     rairs: Dict[str, RecursiveVerifierAir] = {}
+    eairs: Dict[str, object] = {}
     dags = {}
     for stage in todo:
         air = pipeline._air_for(stage)
         key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
         if key not in rairs:
             rairs[key] = RecursiveVerifierAir(air, pipeline.config, num_queries=shard)
+        if ext_op and key not in eairs:
+            from .starks.ext_op_air import ExtOpAir
+
+            eairs[key] = ExtOpAir(air, pipeline.config)
         _, dag = prove_recursive_dag(
             air, bundle.proofs[stage], bundle.publics[stage], pipeline.config,
-            ocfg, shard=shard, xp=xp, rair=rairs[key],
+            ocfg, shard=shard, xp=xp, rair=rairs[key], ext_op_air=eairs.get(key),
         )
         dags[stage] = dag
     return CompressedBundle(
@@ -469,14 +476,19 @@ def verify_compressed_bundle(pipeline: AggregatePipeline, cb: CompressedBundle,
     todo = list(STAGES) if stages is None else list(stages)
     pipeline._h2f_air(len(sha.expand_message_xmd_compressions(message, h2c.DST, XMD_LEN)[1]))
     rairs: Dict[str, RecursiveVerifierAir] = {}
+    eairs: Dict[str, object] = {}
     for stage in todo:
         air = pipeline._air_for(stage)
         key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
         if key not in rairs:
             rairs[key] = RecursiveVerifierAir(air, pipeline.config, num_queries=cb.shard)
+        if cb.dags[stage].ext_op_proof is not None and key not in eairs:
+            from .starks.ext_op_air import ExtOpAir
+
+            eairs[key] = ExtOpAir(air, pipeline.config)
         verify_recursive_dag(
             air, cb.publics[stage], pipeline.config, cb.dags[stage],
-            cb.outer_config, rair=rairs[key],
+            cb.outer_config, rair=rairs[key], ext_op_air=eairs.get(key),
         )
     if stages is None:
         check_aggregate_links(
@@ -534,7 +546,7 @@ def bundle_from_bytes(data: bytes) -> AggregateBundle:
 
 
 _CBUNDLE_MAGIC = b"SBTC"
-_CBUNDLE_VERSION = 1
+_CBUNDLE_VERSION = 2  # v2 adds the optional per-stage ext-op proof
 
 
 def compressed_bundle_to_bytes(cb: CompressedBundle) -> bytes:
@@ -562,6 +574,12 @@ def compressed_bundle_to_bytes(cb: CompressedBundle) -> bytes:
             blob = proof_to_bytes(p)
             out.append(len(blob).to_bytes(8, "little"))
             out.append(blob)
+        if dag.ext_op_proof is not None:
+            blob = proof_to_bytes(dag.ext_op_proof)
+            out.append(len(blob).to_bytes(8, "little"))
+            out.append(blob)
+        else:
+            out.append((0).to_bytes(8, "little"))
     return b"".join(out)
 
 
@@ -572,7 +590,8 @@ def compressed_bundle_from_bytes(data: bytes) -> CompressedBundle:
     from .starks.recursive_verifier import CompressedProofDag
 
     assert data[:4] == _CBUNDLE_MAGIC, "bad compressed-bundle magic"
-    assert int.from_bytes(data[4:8], "little") == _CBUNDLE_VERSION, "bad version"
+    version = int.from_bytes(data[4:8], "little")
+    assert version in (1, _CBUNDLE_VERSION), "bad version"
     off = 8
     num_points = int.from_bytes(data[off : off + 8], "little")
     shard = int.from_bytes(data[off + 8 : off + 16], "little")
@@ -601,7 +620,15 @@ def compressed_bundle_from_bytes(data: bytes) -> CompressedBundle:
             off += 8
             outers.append(proof_from_bytes(data[off : off + ln]))
             off += ln
-        dags[stage] = CompressedProofDag(inner_public=inner_pub, outer_proofs=outers, shard=shard)
+        eproof = None
+        if version >= 2:
+            ln = int.from_bytes(data[off : off + 8], "little")
+            off += 8
+            if ln:
+                eproof = proof_from_bytes(data[off : off + ln])
+                off += ln
+        dags[stage] = CompressedProofDag(inner_public=inner_pub, outer_proofs=outers,
+                                         shard=shard, ext_op_proof=eproof)
     assert off == len(data), "trailing bytes in compressed bundle"
     return CompressedBundle(publics=publics, dags=dags, num_points=num_points,
                             shard=shard, outer_config=ocfg)

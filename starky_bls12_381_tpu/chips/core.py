@@ -177,6 +177,9 @@ def _const_vec(ctx, values):
     alg = ctx.alg
     if alg.__class__.__name__ == "DegreeAlgebra":
         return V(alg, 0, 0)
+    if alg.__class__.__name__ == "TapeAlgebra":
+        # no trailing domain/pair axis: (len,) broadcasts against (G, w)
+        return V(alg, alg.lift_ints(np.asarray([int(v) for v in values], dtype=np.uint64)), 0)
     if alg.__class__.__name__ == "ExtScalarAlgebra":
         data = np.array([[int(v), 0] for v in values], dtype=object)
         return V(alg, data, 0)

@@ -1010,11 +1010,15 @@ def verify_recursive(inner_air, inner_pis, inner_config: StarkConfig,
 class CompressedProofDag:
     """Inner public part + one outer proof per query shard. The shards
     jointly cover every FRI query of the inner proof (the last shard pads
-    by repeating queries, so all shards share one air/compiled prover)."""
+    by repeating queries, so all shards share one air/compiled prover).
+    `ext_op_proof` (optional): an ExtOpAir proof of the quotient identity
+    (starks/ext_op_air.py) — when present, verification does NO native
+    `inner.eval`."""
 
     inner_public: StarkProof
     outer_proofs: list
     shard: int
+    ext_op_proof: StarkProof | None = None
 
 
 def _shard_indices(Q: int, shard: int, indices=None):
@@ -1046,11 +1050,15 @@ def _shard_indices(Q: int, shard: int, indices=None):
 
 def prove_recursive_dag(inner_air, proof: StarkProof, inner_pis,
                         inner_config: StarkConfig, outer_config: StarkConfig,
-                        shard: int, xp=None, rair: RecursiveVerifierAir | None = None):
+                        shard: int, xp=None, rair: RecursiveVerifierAir | None = None,
+                        ext_op_air=None):
     """Wrap a full inner proof as ceil(Q/shard) outer proofs, each covering
     `shard` queries — the path to recursing over the wide BLS starks whose
     single-air wrap exceeds device memory (docs/RECURSION.md). One air (and
-    one jitted prover) serves every shard."""
+    one jitted prover) serves every shard. `ext_op_air`: an ExtOpAir for
+    (inner_air, inner_config) — when given, the dag additionally carries a
+    proof of the quotient identity so verification runs no native
+    `inner.eval`."""
     from ..backend.prover import StarkProver
 
     if rair is None:
@@ -1061,16 +1069,25 @@ def prove_recursive_dag(inner_air, proof: StarkProof, inner_pis,
     for idxs in _shard_indices(inner_config.num_queries, shard, d["indices"]):
         trace, opis = rair.generate_trace(proof, inner_pis, idxs)
         outers.append(prover.prove(trace, opis))
+    eproof = None
+    if ext_op_air is not None:
+        from .ext_op_air import prove_ext_op
+
+        eproof = prove_ext_op(ext_op_air, proof, inner_pis, outer_config, xp=xp)
     return rair, CompressedProofDag(
-        inner_public=strip_queries(proof), outer_proofs=outers, shard=shard
+        inner_public=strip_queries(proof), outer_proofs=outers, shard=shard,
+        ext_op_proof=eproof,
     )
 
 
 def verify_recursive_dag(inner_air, inner_pis, inner_config: StarkConfig,
                          dag: CompressedProofDag, outer_config: StarkConfig,
-                         rair: RecursiveVerifierAir | None = None) -> None:
+                         rair: RecursiveVerifierAir | None = None,
+                         ext_op_air=None) -> None:
     """Native scalar checks once, then one outer verification per shard;
-    the shard index sets must cover every inner query."""
+    the shard index sets must cover every inner query. With `ext_op_air`
+    and a dag carrying an ext-op proof, the quotient identity is checked
+    via that proof instead of native `inner.eval`."""
     if rair is None:
         rair = RecursiveVerifierAir(inner_air, inner_config, num_queries=dag.shard)
     p = dag.inner_public
@@ -1083,7 +1100,12 @@ def verify_recursive_dag(inner_air, inner_pis, inner_config: StarkConfig,
     d = derive_challenges(inner_air, p, inner_pis, inner_config)
     if not check_pow(d["pow_challenge"], p.fri.pow_nonce, inner_config.pow_bits):
         raise VerificationError("bad grinding witness")
-    check_quotient_identity(inner_air, p, inner_pis, inner_config, d["alphas"], d["zeta"])
+    if ext_op_air is not None and dag.ext_op_proof is not None:
+        from .ext_op_air import verify_ext_op
+
+        verify_ext_op(ext_op_air, p, inner_pis, dag.ext_op_proof, outer_config, d=d)
+    else:
+        check_quotient_identity(inner_air, p, inner_pis, inner_config, d["alphas"], d["zeta"])
     shards = _shard_indices(inner_config.num_queries, dag.shard, d["indices"])
     if len(dag.outer_proofs) != len(shards):
         raise VerificationError("bad shard count")

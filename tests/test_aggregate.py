@@ -159,6 +159,69 @@ def test_compress_single_stage(committee):
         verify_compressed_bundle(pipeline, bad, pubkeys, bits, message, signature, stages=["sigc"])
 
 
+def test_compress_single_stage_ext_op(committee):
+    """ext_op=True: the stage's quotient identity rides an ExtOpAir proof —
+    verify_compressed_bundle runs NO native stage `air.eval` (the second
+    recursion level's identity half; reference parity:
+    aggregate_proof.rs:417-451 re-runs eval_ext_circuit in-SNARK)."""
+    from unittest import mock
+
+    from starky_bls12_381_tpu.aggregate import (
+        AggregateBundle,
+        compress_bundle,
+        compressed_bundle_from_bytes,
+        compressed_bundle_to_bytes,
+        verify_compressed_bundle,
+    )
+    from starky_bls12_381_tpu.backend.config import StarkConfig
+
+    pubkeys, bits, message, signature = committee
+    icfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=2, cap_height=2)
+    pipeline = AggregatePipeline(num_points=N, config=icfg, xp=np)
+    builders, _ = pipeline._trace_builders(pubkeys, bits, message, signature)
+    trace, pis = builders["sigc"]()
+    proof = pipeline._prove("sigc", trace, pis)
+    bundle = AggregateBundle(proofs={"sigc": proof}, publics={"sigc": pis}, num_points=N)
+
+    ocfg = StarkConfig(rate_bits=1, pow_bits=4, num_queries=8, cap_height=2)
+    cb = compress_bundle(pipeline, bundle, shard=2, outer_config=ocfg, stages=["sigc"],
+                         ext_op=True)
+    assert cb.dags["sigc"].ext_op_proof is not None
+    # the stage identity must NOT be checked natively
+    with mock.patch(
+        "starky_bls12_381_tpu.starks.recursive_verifier.check_quotient_identity",
+        side_effect=AssertionError("native inner eval used"),
+    ):
+        verify_compressed_bundle(pipeline, cb, pubkeys, bits, message, signature, stages=["sigc"])
+    # serde roundtrip carries the ext-op proof
+    cb2 = compressed_bundle_from_bytes(compressed_bundle_to_bytes_single(cb))
+    verify_compressed_bundle(pipeline, cb2, pubkeys, bits, message, signature, stages=["sigc"])
+    # tampered ext-op proof rejects
+    import copy
+
+    bad = copy.deepcopy(cb)
+    bad.dags["sigc"].ext_op_proof.trace_local = bad.dags["sigc"].ext_op_proof.trace_local.copy()
+    bad.dags["sigc"].ext_op_proof.trace_local[0, 0] ^= 1
+    with pytest.raises(VerificationError):
+        verify_compressed_bundle(pipeline, bad, pubkeys, bits, message, signature, stages=["sigc"])
+
+
+def compressed_bundle_to_bytes_single(cb):
+    """Serialize a single-stage compressed bundle by padding the missing
+    stages with the sigc dag (serde covers all STAGES)."""
+    import copy
+
+    from starky_bls12_381_tpu.aggregate import STAGES, compressed_bundle_to_bytes
+
+    full = copy.copy(cb)
+    full.publics = dict(cb.publics)
+    full.dags = dict(cb.dags)
+    for s in STAGES:
+        full.publics.setdefault(s, cb.publics["sigc"])
+        full.dags.setdefault(s, cb.dags["sigc"])
+    return compressed_bundle_to_bytes(full)
+
+
 @slow
 def test_compress_full_bundle_roundtrip(committee):
     """Full 12-stage prove -> compress -> serialize -> verify: ONE object,
