@@ -248,9 +248,83 @@ def _internal_layer(state, xp):
 
 
 def _sbox(x):
-    x2 = gl.gl_mul(x, x)
-    x3 = gl.gl_mul(x2, x)
-    return gl.gl_mul(gl.gl_mul(x3, x3), x)
+    # x^7 = ((x^3)^2) * x with squares specialized (3 partial products
+    # instead of 4): 2 squares + 2 muls, ~19% fewer emulated multiplies
+    # than the 4-mul chain
+    x3 = gl.gl_mul(gl.gl_sqr(x), x)
+    return gl.gl_mul(gl.gl_sqr(x3), x)
+
+
+# ---------------------------------------------------------------------------
+# Transposed (lane-major) permutation core: state shape (12, B).
+#
+# A (B, 12) batch puts the 12 state lanes on the MINOR axis, which the TPU
+# tiles to (8, 128) — 12 of 128 lanes carry data, so every elementwise op
+# that materializes runs at <10% VPU utilization. Transposing to (12, B)
+# puts the BATCH on the 128-lane axis (full occupancy; the 12 pads only
+# the 8-sublane axis to 16). The sponge and Merkle paths below keep their
+# state in this layout across whole scans so the transpose happens once
+# per commit, not once per round. Bit-identical to `permute` by
+# construction (same ops, axes swapped).
+# ---------------------------------------------------------------------------
+
+
+def _external_layer_t(state, xp):
+    """state (12, ...) -> M_E @ state, lane-major."""
+    rows = [state[i] for i in range(WIDTH)]
+    blocks = [_m4_block(*rows[4 * b : 4 * b + 4], xp) for b in range(3)]
+    sums = [gl.gl_add(gl.gl_add(blocks[0][i], blocks[1][i]), blocks[2][i]) for i in range(4)]
+    out = [gl.gl_add(blocks[b][i], sums[i]) for b in range(3) for i in range(4)]
+    return xp.stack(out, axis=0)
+
+
+def _internal_layer_t(state, xp):
+    total = gl.gl_sum(state, axis=0)
+    rows = [gl.gl_add(total, _shl(state[i], DIAG_EXP[i], xp)) for i in range(WIDTH)]
+    return xp.stack(rows, axis=0)
+
+
+def permute_t(state):
+    """Permute a (12, ...) uint64 array (transposed layout).
+    permute_t(x.T).T == permute(x) bit-for-bit."""
+    xp = gl._xp(state)
+    if xp is not np and _use_rolled():
+        return _permute_rolled_t(state)
+    asx = (lambda a: a) if xp is np else xp.asarray
+    rc = asx(_RC_NP)  # (30, 12)
+    state = _external_layer_t(state, xp)
+    for r in range(N_ROUNDS):
+        if round_is_full(r):
+            rcr = rc[r].reshape((WIDTH,) + (1,) * (state.ndim - 1))
+            state = _external_layer_t(_sbox(gl.gl_add(state, rcr)), xp)
+        else:
+            s0 = _sbox(gl.gl_add(state[:1], rc[r][:1].reshape((1,) + (1,) * (state.ndim - 1))))
+            state = _internal_layer_t(xp.concatenate([s0, state[1:]], axis=0), xp)
+    return state
+
+
+def _permute_rolled_t(state):
+    """Rolled (lax.scan) form of permute_t — small traced graph for
+    compile-time-sensitive backends (see _permute_rolled)."""
+    import jax
+    import jax.numpy as jnp
+
+    rc = jnp.asarray(_RC_NP)
+    half = N_FULL // 2
+    tail = (1,) * (state.ndim - 1)
+    state = _external_layer_t(state, jnp)
+
+    def full_body(st, rcr):
+        return _external_layer_t(_sbox(gl.gl_add(st, rcr.reshape((WIDTH,) + tail))), jnp), None
+
+    def part_body(st, rc0):
+        s0 = _sbox(gl.gl_add(st[:1], rc0.reshape((1,) + tail)))
+        return _internal_layer_t(jnp.concatenate([s0, st[1:]], axis=0), jnp), None
+
+    state, _ = jax.lax.scan(full_body, state, rc[:half])
+    state, _ = jax.lax.scan(part_body, state, rc[half : half + N_PARTIAL, 0])
+    state, _ = jax.lax.scan(full_body, state, rc[half + N_PARTIAL :])
+    return state
 
 
 def permute(state):
@@ -419,22 +493,29 @@ def hash_row_segments(rows, kseg: int):
     n, wcols = rows.shape
     assert wcols % (kseg * RATE) == 0
     w = wcols // (kseg * RATE)
-    # (kseg, N*w, RATE) chunk stream: segment sponges advance in lockstep
-    chunks = rows.reshape(n * w, kseg, RATE).transpose(1, 0, 2)
-    state = (chunks[0, :, :1] & xp.uint64(0)) + xp.zeros((n * w, WIDTH), dtype=xp.uint64)
     if xp is np:
+        # (kseg, N*w, RATE) chunk stream: segment sponges advance in lockstep
+        chunks = rows.reshape(n * w, kseg, RATE).transpose(1, 0, 2)
+        state = np.zeros((n * w, WIDTH), dtype=np.uint64)
         for i in range(kseg):
             state = np.concatenate([chunks[i], state[:, RATE:]], axis=1)
             state = permute(state)
-    else:
-        import jax
+        return state[:, :CAP].reshape(n, w, CAP)
 
-        def body(st, chunk):
-            st = xp.concatenate([chunk, st[:, RATE:]], axis=1)
-            return permute(st), None
+    # Traced backends: lane-major sponge — state (12, B) keeps the batch
+    # on the 128-lane axis through the whole scan (one transpose per
+    # commit chunk, not per absorb step)
+    import jax
 
-        state, _ = jax.lax.scan(body, state, chunks)
-    return state[:, :CAP].reshape(n, w, CAP)
+    chunks_t = rows.reshape(n * w, kseg, RATE).transpose(1, 2, 0)  # (kseg, RATE, B)
+    state = (chunks_t[0, :1, :] & xp.uint64(0)) + xp.zeros((WIDTH, n * w), dtype=xp.uint64)
+
+    def body(st, chunk):
+        st = xp.concatenate([chunk, st[RATE:]], axis=0)
+        return permute_t(st), None
+
+    state, _ = jax.lax.scan(body, state, chunks_t)
+    return state[:CAP].transpose(1, 0).reshape(n, w, CAP)
 
 
 def fold_segment_digests(digs):
@@ -603,5 +684,12 @@ def compress_rows(left, right):
     """Compress (N, 4) x (N, 4) digests into (N, 4)."""
     xp = gl._xp(left)
     n = left.shape[0]
-    state = xp.concatenate([left, right, xp.zeros((n, WIDTH - 2 * CAP), dtype=xp.uint64)], axis=1)
-    return permute(state)[:, :CAP]
+    if xp is np:
+        state = np.concatenate([left, right, np.zeros((n, WIDTH - 2 * CAP), dtype=np.uint64)], axis=1)
+        return permute(state)[:, :CAP]
+    # traced: lane-major (see permute_t)
+    state = xp.concatenate(
+        [left.transpose(1, 0), right.transpose(1, 0), xp.zeros((WIDTH - 2 * CAP, n), dtype=xp.uint64)],
+        axis=0,
+    )
+    return permute_t(state)[:CAP].transpose(1, 0)

@@ -851,7 +851,8 @@ class StarkProver:
         chunk = 1 << min(max(pow_bits, 10), 16)
 
         def f(states):
-            return ps.permute(states)[:, 0]
+            # lane-major: batch on the 128-lane axis (see ps.permute_t)
+            return ps.permute_t(states.transpose(1, 0))[0]
 
         stage = self._stage("pow", f)
         start = 0

@@ -71,13 +71,28 @@ def gl_neg(a):
     return xp.where(a == _c(xp, 0), a, _c(xp, P) - a)
 
 
-def gl_mul(a, b):
-    """Full 64x64 -> 128-bit product then Goldilocks reduction.
+def _reduce_hi_lo(hi, lo, xp):
+    """(hi*2^64 + lo) mod p via 2^64 = 2^32 - 1, 2^96 = -1 (mod p).
 
-    Uses 2^64 = 2^32 - 1 (mod p) and 2^96 = -1 (mod p). Branchless.
+    lo + hi_lo * (2^32 - 1) - hi_hi; the multiply is a shift-subtract
+    (hi_lo < 2^32 so hi_lo<<32 and the difference are exact in u64),
+    saving an emulated u64 multiply per reduction. Branchless.
     """
-    xp = _xp(a)
     c32, cNEG, cP, cM32 = _c(xp, 32), _c(xp, NEG), _c(xp, P), _c(xp, M32)
+    hi_hi = hi >> c32
+    hi_lo = hi & cM32
+    t0 = lo - hi_hi
+    t0 = xp.where(lo < hi_hi, t0 - cNEG, t0)
+    t1 = (hi_lo << c32) - hi_lo  # hi_lo * (2^32 - 1), exact in u64
+    res = t0 + t1
+    res = res + xp.where(res < t0, cNEG, _c(xp, 0))
+    return xp.where(res >= cP, res - cP, res)
+
+
+def gl_mul(a, b):
+    """Full 64x64 -> 128-bit product then Goldilocks reduction. Branchless."""
+    xp = _xp(a)
+    c32, cM32 = _c(xp, 32), _c(xp, M32)
     a_lo = a & cM32
     a_hi = a >> c32
     b_lo = b & cM32
@@ -91,15 +106,26 @@ def gl_mul(a, b):
     lo = ll + ((mid & cM32) << c32)
     lo_carry = lo < ll
     hi = hh + (mid >> c32) + xp.where(mid_over, _c(xp, 1 << 32), _c(xp, 0)) + xp.where(lo_carry, _c(xp, 1), _c(xp, 0))
-    # reduce (hi, lo): lo + hi_lo * (2^32 - 1) - hi_hi  (mod p)
-    hi_hi = hi >> c32
-    hi_lo = hi & cM32
-    t0 = lo - hi_hi
-    t0 = xp.where(lo < hi_hi, t0 - cNEG, t0)
-    t1 = hi_lo * cNEG
-    res = t0 + t1
-    res = res + xp.where(res < t0, cNEG, _c(xp, 0))
-    return xp.where(res >= cP, res - cP, res)
+    return _reduce_hi_lo(hi, lo, xp)
+
+
+def gl_sqr(a):
+    """a*a mod p: the square needs 3 32x32 partial products, not 4
+    (lh == hl), so the cross term is a doubling instead of a second
+    emulated multiply. Bit-identical to gl_mul(a, a)."""
+    xp = _xp(a)
+    c32, cM32 = _c(xp, 32), _c(xp, M32)
+    a_lo = a & cM32
+    a_hi = a >> c32
+    ll = a_lo * a_lo
+    cross = a_lo * a_hi
+    hh = a_hi * a_hi
+    mid = cross << _c(xp, 1)
+    mid_over = cross >> _c(xp, 63)  # bit 64 of 2*cross
+    lo = ll + ((mid & cM32) << c32)
+    lo_carry = lo < ll
+    hi = hh + (mid >> c32) + (mid_over << c32) + xp.where(lo_carry, _c(xp, 1), _c(xp, 0))
+    return _reduce_hi_lo(hi, lo, xp)
 
 
 def gl_pow(a, e: int):
@@ -110,7 +136,7 @@ def gl_pow(a, e: int):
     while e > 0:
         if e & 1:
             result = gl_mul(result, base)
-        base = gl_mul(base, base)
+        base = gl_sqr(base)
         e >>= 1
     return result
 

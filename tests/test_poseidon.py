@@ -119,3 +119,31 @@ def test_internal_matrix_secure():
     x = sympy.symbols("x")
     M = sympy.Matrix(12, 12, lambda i, j: ps.M_INTERNAL[i][j])
     assert sympy.Poly(M.charpoly(x).as_expr(), x, modulus=P).is_irreducible
+
+
+def test_transposed_core_bit_identical():
+    """permute_t is the lane-major (12, B) form of permute: transposing
+    in and out reproduces permute bit-for-bit, on numpy and jax-CPU."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    st = rng.integers(0, P, size=(33, ps.WIDTH), dtype=np.uint64)
+    ref = ps.permute(st.copy())
+    np.testing.assert_array_equal(ps.permute_t(st.T.copy()).T, ref)
+    np.testing.assert_array_equal(np.asarray(ps.permute_t(jnp.asarray(st.T))).T, ref)
+
+
+def test_gl_sqr_matches_mul():
+    from starky_bls12_381_tpu.fields import goldilocks as gl
+
+    rng = np.random.default_rng(12)
+    # include boundary values: 0, 1, p-1, 2^32-1, 2^32, 2^64-1 (non-canonical)
+    a = np.concatenate(
+        [
+            rng.integers(0, P, size=1000, dtype=np.uint64),
+            np.asarray([0, 1, P - 1, (1 << 32) - 1, 1 << 32, (1 << 64) - 1], dtype=np.uint64),
+        ]
+    )
+    np.testing.assert_array_equal(gl.gl_sqr(a), gl.gl_mul(a, a))
+    for v in [0, 1, P - 1, (1 << 33) + 7]:
+        assert int(gl.gl_sqr(np.uint64(v))) == v * v % P
