@@ -186,7 +186,14 @@ def _run_one(which: str, start: float, budget: float):
         "pairing_precomp": bench_pairing_precomp,
     }[which]()
 
-    config = StarkConfig(rate_bits=1, cap_height=4, num_queries=84, pow_bits=16)
+    # production parameter points, ~100-bit conjectured soundness each
+    # (num_queries * rate_bits + pow_bits). Tall/wide starks want rate 1
+    # (LDE cost dominates); the 16-row fp12_mul wants a high rate and few
+    # queries (its LDE is tiny and its cost is opened-row bytes: 84
+    # rate-1 queries opened 55770-col rows out of only 32 LDE rows).
+    config = {
+        "fp12_mul": StarkConfig(rate_bits=4, cap_height=4, num_queries=21, pow_bits=16),
+    }.get(which, StarkConfig(rate_bits=1, cap_height=4, num_queries=84, pow_bits=16))
     prover = StarkProver(air, config)
     # the first prove pays XLA compilation (or cached-executable loads);
     # transient tunnel failures (HTTP 500 compile helper, dropped fetch)

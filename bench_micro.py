@@ -77,6 +77,30 @@ def bench_poseidon():
     }
 
 
+def bench_poseidon_t():
+    """Lane-major (12, B) permutation — the layout the sponge/Merkle/PoW
+    paths actually run (batch on the 128-lane axis, see ps.permute_t)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = 1 << 20
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, gl.P, size=(ps.WIDTH, B), dtype=np.uint64)
+    dev = jnp.asarray(states)
+
+    def f(x):
+        return ps.permute_t(x).sum()
+
+    dt = _timeit(jax.jit(f), dev)
+    perms_s = B / dt
+    return {
+        "metric": "poseidon_t_perms_per_s",
+        "value": round(perms_s / 1e6, 2),
+        "unit": "Mperm/s",
+        "batch": B,
+    }
+
+
 def bench_poseidon_pallas():
     """The hand-written Pallas u32-pair kernel vs the XLA u64 path."""
     import jax
@@ -132,7 +156,7 @@ def bench_ntt():
 
 def main():
     out = {}
-    for fn in (bench_poseidon, bench_poseidon_pallas, bench_ntt):
+    for fn in (bench_poseidon, bench_poseidon_t, bench_poseidon_pallas, bench_ntt):
         try:
             rec = fn()
         except Exception as exc:  # keep the other kernels' numbers
