@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -192,7 +193,23 @@ def main(argv=None):
         )
         t0 = time.time()
         bundle = pipeline.prove_aggregate(pubkeys, bits, message, signature)
-        print(f"proved {len(bundle.proofs)} starks in {time.time() - t0:.1f}s")
+        total_s = time.time() - t0
+        print(f"proved {len(bundle.proofs)} starks in {total_s:.1f}s")
+        print("stage wall s:", pipeline.stage_wall_s)
+        rec = os.environ.get("BENCH_RECORD")
+        if rec:
+            with open(rec, "w") as f:
+                json.dump(
+                    {
+                        "metric": "aggregate_prove_lc_s",
+                        "value": round(total_s, 1),
+                        "unit": "s",
+                        "num_points": num_points,
+                        "stage_wall_s": pipeline.stage_wall_s,
+                    },
+                    f,
+                    indent=1,
+                )
         _write_bundle(pipeline, bundle, args.out, args.compress)
         return
 
