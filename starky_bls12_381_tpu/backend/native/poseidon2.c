@@ -240,6 +240,56 @@ static void permute_eight(uint64_t *states, const uint64_t *rc,
 }
 #endif /* AVX-512 */
 
+static void permute_record_one(const uint64_t *in, uint64_t *blocks,
+                               const uint64_t *rc, const int64_t *diag_exp,
+                               int n_rounds, int half_full, int n_partial,
+                               int rows_per_perm, int block_cols,
+                               int S, int W3, int W6, int U) {
+    /* Witness-recording permutation (starks/poseidon_block.py
+     * permute_record): pre row S = raw input; per round rows record
+     * [S | W3 | W6 | U]; result row S = output. Bit-identical. */
+    uint64_t s[12], tmp[12], w3[12], w6[12], u[12];
+    for (int i = 0; i < 12; i++) s[i] = in[i];
+    for (int i = 0; i < 12; i++) blocks[0 * block_cols + S + i] = s[i];
+    external_layer(s);
+    for (int r = 0; r < n_rounds; r++) {
+        const uint64_t *rcr = rc + 12 * r;
+        int full = !(r >= half_full && r < half_full + n_partial);
+        uint64_t *row = blocks + (size_t)(1 + r) * block_cols;
+        for (int i = 0; i < 12; i++) {
+            tmp[i] = add_m(s[i], rcr[i]);
+            uint64_t t2 = mul_m(tmp[i], tmp[i]);
+            w3[i] = mul_m(t2, tmp[i]);
+            w6[i] = mul_m(w3[i], w3[i]);
+            u[i] = (full || i == 0) ? mul_m(w6[i], tmp[i]) : tmp[i];
+        }
+        for (int i = 0; i < 12; i++) {
+            row[S + i] = s[i];
+            row[W3 + i] = w3[i];
+            row[W6 + i] = w6[i];
+            row[U + i] = u[i];
+        }
+        for (int i = 0; i < 12; i++) s[i] = u[i];
+        if (full) external_layer(s);
+        else internal_layer(s, diag_exp);
+    }
+    uint64_t *res = blocks + (size_t)(rows_per_perm - 1) * block_cols;
+    for (int i = 0; i < 12; i++) res[S + i] = s[i];
+}
+
+void permute_record_batch(const uint64_t *states, size_t n, uint64_t *blocks,
+                          const uint64_t *rc, const int64_t *diag_exp,
+                          int n_rounds, int half_full, int n_partial,
+                          int rows_per_perm, int block_cols,
+                          int S, int W3, int W6, int U) {
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < n; i++)
+        permute_record_one(states + 12 * i,
+                           blocks + i * (size_t)rows_per_perm * block_cols,
+                           rc, diag_exp, n_rounds, half_full, n_partial,
+                           rows_per_perm, block_cols, S, W3, W6, U);
+}
+
 void permute_batch(uint64_t *states, size_t n, const uint64_t *rc,
                    const int64_t *diag_exp, int n_rounds, int half_full,
                    int n_partial) {

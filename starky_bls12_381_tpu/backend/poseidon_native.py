@@ -79,6 +79,14 @@ def _load():
         ctypes.c_int,
     ]
     lib.permute_batch.restype = None
+    lib.permute_record_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int64),
+    ] + [ctypes.c_int] * 9
+    lib.permute_record_batch.restype = None
     _lib = lib
     AVAILABLE = True
     return _lib
@@ -108,3 +116,37 @@ def permute_batch(states: np.ndarray) -> np.ndarray:
         ps.N_PARTIAL,
     )
     return out
+
+
+def permute_record_batch(states: np.ndarray, rows_per_perm: int, block_cols: int,
+                         s_off: int, w3_off: int, w6_off: int, u_off: int):
+    """Witness-recording batch permutation: returns (blocks, out) matching
+    starks/poseidon_block.py permute_record bit-for-bit. `blocks` is
+    (B, rows_per_perm, block_cols); `out` (B, 12) final states."""
+    from . import poseidon as ps
+
+    lib = _load()
+    assert lib is not None, "native kernel unavailable"
+    st = np.ascontiguousarray(states, dtype=np.uint64)
+    b = st.shape[0]
+    blocks = np.zeros((b, rows_per_perm, block_cols), dtype=np.uint64)
+    rc = np.ascontiguousarray(ps._RC_NP, dtype=np.uint64)
+    de = np.asarray(ps.DIAG_EXP, dtype=np.int64)
+    lib.permute_record_batch(
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b,
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        de.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ps.N_ROUNDS,
+        ps.N_FULL // 2,
+        ps.N_PARTIAL,
+        rows_per_perm,
+        block_cols,
+        s_off,
+        w3_off,
+        w6_off,
+        u_off,
+    )
+    out = blocks[:, rows_per_perm - 1, s_off : s_off + 12].copy()
+    return blocks, out

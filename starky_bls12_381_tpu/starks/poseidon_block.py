@@ -111,8 +111,8 @@ def fill_nonround_witnesses(trace: np.ndarray, consts: np.ndarray) -> None:
     if rows.shape[0] == 0:
         return
     t = trace[rows, S : S + WIDTH]
-    w3 = gl.gl_mul(gl.gl_mul(t, t), t)
-    w6 = gl.gl_mul(w3, w3)
+    w3 = gl.gl_mul(gl.gl_sqr(t), t)
+    w6 = gl.gl_sqr(w3)
     trace[rows[:, None], np.arange(W3, W3 + WIDTH)[None, :]] = w3
     trace[rows[:, None], np.arange(W6, W6 + WIDTH)[None, :]] = w6
     trace[rows, U] = gl.gl_mul(w6[:, 0], t[:, 0])
@@ -129,6 +129,13 @@ def permute_record(states: np.ndarray):
     Bit-identical to `fill_permutation` row by row."""
     xp = gl._xp(states)
     B = states.shape[0]
+    if xp is np and B >= 32:
+        # host bulk fill: the native witness-recording kernel is ~100x the
+        # numpy per-round path (the recursive wrap's fill hot loop)
+        from ..backend import poseidon_native as pn
+
+        if pn.available():
+            return pn.permute_record_batch(states, ROWS_PER_PERM, BLOCK_COLS, S, W3, W6, U)
     blocks = xp.zeros((B, ROWS_PER_PERM, BLOCK_COLS), dtype=xp.uint64)
     blocks[:, 0, S : S + WIDTH] = states  # pre row: raw input
     rc = ps._RC_NP if xp is np else xp.asarray(ps._RC_NP)

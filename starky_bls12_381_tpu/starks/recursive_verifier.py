@@ -308,7 +308,17 @@ class RecursiveVerifierAir(Air):
     def constant_columns(self):
         """All constant columns are identical across query regions, so one
         (rows_per_query, c_total) template is built with vectorized writes
-        and tiled over the Q regions (padding rows stay zero)."""
+        and tiled over the Q regions (padding rows stay zero). Cached: the
+        production wrap calls this once per SHARD (12 shards for the
+        84-query miller loop) on an identical air."""
+        cached = self.__dict__.get("_const_cols_cache")
+        if cached is not None:
+            return cached
+        out = self._constant_columns_impl()
+        self.__dict__["_const_cols_cache"] = out
+        return out
+
+    def _constant_columns_impl(self):
         rpq = self.rows_per_query
         p = self.plan
         tpl = np.zeros((rpq, self.c_total), dtype=np.uint64)
@@ -1065,10 +1075,20 @@ def prove_recursive_dag(inner_air, proof: StarkProof, inner_pis,
         rair = RecursiveVerifierAir(inner_air, inner_config, num_queries=shard)
     prover = StarkProver(rair, outer_config, xp=xp)
     d = derive_challenges(inner_air, proof, inner_pis, inner_config)
+    # pipeline host fills with device proves: while the accelerator proves
+    # shard k, a worker thread fills shard k+1's trace (the fills are tens
+    # of seconds of host work per shard at the production point)
+    from concurrent.futures import ThreadPoolExecutor
+
+    shards = _shard_indices(inner_config.num_queries, shard, d["indices"])
     outers = []
-    for idxs in _shard_indices(inner_config.num_queries, shard, d["indices"]):
-        trace, opis = rair.generate_trace(proof, inner_pis, idxs)
-        outers.append(prover.prove(trace, opis))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(rair.generate_trace, proof, inner_pis, shards[0])
+        for k, idxs in enumerate(shards):
+            trace, opis = fut.result()
+            if k + 1 < len(shards):
+                fut = ex.submit(rair.generate_trace, proof, inner_pis, shards[k + 1])
+            outers.append(prover.prove(trace, opis))
     eproof = None
     if ext_op_air is not None:
         from .ext_op_air import prove_ext_op
