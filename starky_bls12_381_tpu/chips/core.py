@@ -289,6 +289,9 @@ class FillRecorder:
             dvals.append(np.stack([v for _, v in items]))
 
         def build(dv, pvals):
+            # widen u32-shipped value arrays back to the u64 trace domain
+            dv = [v.astype(jnp.uint64) for v in dv]
+            pvals = [{n: v.astype(jnp.uint64) for n, v in d.items()} for d in pvals]
             flat = jnp.zeros(R * C, dtype=jnp.uint64)
             for (h, wid, bcast, base), v in zip(dmeta, dv):
                 offs = (
@@ -310,10 +313,17 @@ class FillRecorder:
 
         # the VALUE arrays are jit inputs (only they differ between
         # statements); the write schedule (row groups + column bases)
-        # stays static host data feeding tiny on-device index math
-        dv = [jnp.asarray(v) for v in dvals]
+        # stays static host data feeding tiny on-device index math.
+        # BLS limb values are u32 by construction — ship them narrow
+        # (halves the host->device transfer) and widen on device.
+        def _ship(v):
+            if v.size and int(v.max()) < (1 << 32):
+                return jnp.asarray(v.astype(np.uint32))
+            return jnp.asarray(v)
+
+        dv = [_ship(v) for v in dvals]
         pvals = [
-            {n: jnp.asarray(v) for n, v in d.items() if isinstance(v, np.ndarray)}
+            {n: _ship(v) for n, v in d.items() if isinstance(v, np.ndarray)}
             for _k, _e, d in prepared
         ]
         # one compiled expansion per (air) record structure: the schedule
