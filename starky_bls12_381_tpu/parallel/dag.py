@@ -56,6 +56,10 @@ def _worker_prove(args):
     """Child-process entry: prove a list of stages with the numpy prover.
     Rebuilds airs locally; receives only the statement (cheap to pickle)."""
     (stages, num_points, cfg_tuple, pubkeys, bits, message, signature) = args
+    # one compute thread per worker: stage-level parallelism comes from
+    # the PROCESS grid (one worker per host/core), not from intra-kernel
+    # threads — otherwise co-located workers oversubscribe each other
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     import numpy as np
 
     from ..aggregate import AggregatePipeline
