@@ -155,6 +155,13 @@ def main(argv=None):
     p_lc.add_argument("--out", default="aggregate_proof.bin")
     p_lc.add_argument("--cpu", action="store_true")
     p_lc.add_argument("--compress", action="store_true")
+    p_vlc = sub.add_parser(
+        "verify-lc", help="verify a bundle against two light-client update JSONs"
+    )
+    p_vlc.add_argument("prev_update")
+    p_vlc.add_argument("cur_update")
+    p_vlc.add_argument("--domain", required=True)
+    p_vlc.add_argument("proof")
     args = ap.parse_args(argv)
 
     if args.cmd == "make-example":
@@ -213,7 +220,13 @@ def main(argv=None):
         _write_bundle(pipeline, bundle, args.out, args.compress)
         return
 
-    num_points, pubkeys, bits, message, signature = load_input(args.input)
+    if args.cmd == "verify-lc":
+        num_points, pubkeys, bits, message, signature = load_light_client_input(
+            args.prev_update, args.cur_update, args.domain
+        )
+        args.cmd = "verify"  # shares the verify path below
+    else:
+        num_points, pubkeys, bits, message, signature = load_input(args.input)
     pipeline = AggregatePipeline(
         num_points=num_points, xp=np if getattr(args, "cpu", False) else None
     )
