@@ -121,7 +121,21 @@ class AggregatePipeline:
         air = self._air_for(stage)
         key = {"pp1": "pp", "pp2": "pp", "ml1": "ml", "ml2": "ml"}.get(stage, stage)
         if key not in self._provers:
-            self._provers[key] = StarkProver(air, self.config, xp=self.xp)
+            import os
+
+            import numpy as _np
+
+            xp = self.xp
+            # per-stage host fallback (STARKY_CPU_STAGES="h2c,..."): the
+            # axon remote-compile helper is SIGKILLed by a handful of
+            # quotient programs whose traced graphs exceed its memory cap
+            # (h2c reproducibly, 125 GB host RAM free — a helper-side
+            # limit, not XLA's); those stages prove on the host numpy
+            # backend instead. Proofs are bit-identical across backends.
+            cpu_stages = os.environ.get("STARKY_CPU_STAGES", "")
+            if key in [s.strip() for s in cpu_stages.split(",") if s.strip()]:
+                xp = _np
+            self._provers[key] = StarkProver(air, self.config, xp=xp)
         return self._provers[key].prove(trace, pis)
 
     # -- witness computation (native, aggregate_proof.rs:247-379) --------
