@@ -136,7 +136,31 @@ class AggregatePipeline:
             if key in [s.strip() for s in cpu_stages.split(",") if s.strip()]:
                 xp = _np
             self._provers[key] = StarkProver(air, self.config, xp=xp)
-        return self._provers[key].prove(trace, pis)
+        prover = self._provers[key]
+        # STARKY_CPUJIT_STAGES: jit the named stages onto the host CPU
+        # backend (local XLA-CPU compiles in minutes vs the tunnel
+        # helper's remote queue/limits), with the rolled permutation body
+        # (an unrolled Poseidon costs ~1 min XLA-CPU compile per inlined
+        # instance). Proofs remain bit-identical across backends.
+        import os as _os
+
+        cpujit = _os.environ.get("STARKY_CPUJIT_STAGES", "")
+        if prover.xp is not _np and key in [s.strip() for s in cpujit.split(",") if s.strip()]:
+            import jax
+
+            from .backend import poseidon as _ps
+
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                return prover.prove(trace, pis)
+            tok = _ps._rolled_var().set(True)
+            try:
+                with jax.default_device(cpu):
+                    return prover.prove(trace, pis)
+            finally:
+                _ps._rolled_var().reset(tok)
+        return prover.prove(trace, pis)
 
     # -- witness computation (native, aggregate_proof.rs:247-379) --------
     def build_traces(self, pubkeys, bits, message: bytes, signature):
